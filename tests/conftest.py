@@ -1,0 +1,44 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set XLA flags before jax is imported anywhere (the task environment has
+one real TPU chip; tests use 8 virtual CPU devices so multi-chip sharding
+paths are exercised hermetically).
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The task image's sitecustomize imports jax and registers a remote-TPU
+# ("axon") PJRT backend at interpreter start, so the env var alone is too
+# late — override through the already-imported config as well.  Tests must
+# run on the virtual 8-device CPU mesh, never the (slow, single-chip) tunnel.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the limb-arithmetic graphs are cheap to run
+# but slow for XLA CPU to compile; caching makes repeat test runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/zkstark_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+import random
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return random.Random(0xC0FFEE)
+
+
+@pytest.fixture
+def np_rng():
+    return np.random.default_rng(0xC0FFEE)
