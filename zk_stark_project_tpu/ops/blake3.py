@@ -32,42 +32,73 @@ def _rotr(x, n):
     return (x >> n) | (x << (32 - n))
 
 
-def _g(st, a, b, c, d, mx, my):
-    st[a] = st[a] + st[b] + mx
-    st[d] = _rotr(st[d] ^ st[a], 16)
-    st[c] = st[c] + st[d]
-    st[b] = _rotr(st[b] ^ st[c], 12)
-    st[a] = st[a] + st[b] + my
-    st[d] = _rotr(st[d] ^ st[a], 8)
-    st[c] = st[c] + st[d]
-    st[b] = _rotr(st[b] ^ st[c], 7)
+def _quarter(a, b, c, d, mx, my):
+    """Four blake3 G functions at once on (..., 4) row vectors."""
+    a = a + b + mx
+    d = _rotr(d ^ a, 16)
+    c = c + d
+    b = _rotr(b ^ c, 12)
+    a = a + b + my
+    d = _rotr(d ^ a, 8)
+    c = c + d
+    b = _rotr(b ^ c, 7)
+    return a, b, c, d
+
+
+# Per-round message index schedule (composition of MSG_PERMUTATION), static.
+def _schedules():
+    idx = list(range(16))
+    out = []
+    for _ in range(7):
+        out.append(list(idx))
+        idx = [idx[_PERM[i]] for i in range(16)]
+    return out
+
+
+_SCHEDULES = _schedules()
 
 
 def _compress(cv, block, counter_lo, counter_hi, block_len, flags):
-    """One compression.  cv: (..., 8) u32; block: (..., 16) u32; scalars are
-    python ints or broadcastable arrays.  Returns (..., 8)."""
+    """One compression in SIMD row form.  cv: (..., 8) u32; block: (..., 16)
+    u32; counter/len/flags are python ints or batch-shaped arrays.
+    Returns (..., 8).
+
+    NOTE the row-vector formulation (state as four (..., 4) rows, diagonal
+    rounds via lane rolls) is deliberate: the scalar-dataflow version makes
+    XLA-CPU's fusion pass blow up (hour-long compiles).  It is also the
+    layout a Pallas port wants.
+    """
     batch = cv.shape[:-1]
 
-    def _const(v):
-        return jnp.broadcast_to(jnp.uint32(v), batch)
+    def _as_row(vals):
+        cols = []
+        for v in vals:
+            if isinstance(v, int):
+                cols.append(jnp.broadcast_to(jnp.uint32(v), batch))
+            else:
+                cols.append(jnp.broadcast_to(v.astype(jnp.uint32), batch))
+        return jnp.stack(cols, axis=-1)
 
-    st = [cv[..., i] for i in range(8)]
-    st += [_const(int(_IV[i])) for i in range(4)]
-    for v in (counter_lo, counter_hi, block_len, flags):
-        st.append(_const(v) if isinstance(v, int) else v.astype(jnp.uint32))
-    m = [block[..., i] for i in range(16)]
+    a = cv[..., 0:4]
+    b = cv[..., 4:8]
+    c = jnp.broadcast_to(jnp.asarray(_IV[:4]), batch + (4,))
+    d = _as_row([counter_lo, counter_hi, block_len, flags])
+    m = block
     for r in range(7):
-        _g(st, 0, 4, 8, 12, m[0], m[1])
-        _g(st, 1, 5, 9, 13, m[2], m[3])
-        _g(st, 2, 6, 10, 14, m[4], m[5])
-        _g(st, 3, 7, 11, 15, m[6], m[7])
-        _g(st, 0, 5, 10, 15, m[8], m[9])
-        _g(st, 1, 6, 11, 12, m[10], m[11])
-        _g(st, 2, 7, 8, 13, m[12], m[13])
-        _g(st, 3, 4, 9, 14, m[14], m[15])
-        if r < 6:
-            m = [m[_PERM[i]] for i in range(16)]
-    return jnp.stack([st[i] ^ st[i + 8] for i in range(8)], axis=-1)
+        s = _SCHEDULES[r]
+        a, b, c, d = _quarter(a, b, c, d,
+                              m[..., [s[0], s[2], s[4], s[6]]],
+                              m[..., [s[1], s[3], s[5], s[7]]])
+        b = jnp.roll(b, -1, axis=-1)
+        c = jnp.roll(c, -2, axis=-1)
+        d = jnp.roll(d, -3, axis=-1)
+        a, b, c, d = _quarter(a, b, c, d,
+                              m[..., [s[8], s[10], s[12], s[14]]],
+                              m[..., [s[9], s[11], s[13], s[15]]])
+        b = jnp.roll(b, 1, axis=-1)
+        c = jnp.roll(c, 2, axis=-1)
+        d = jnp.roll(d, 3, axis=-1)
+    return jnp.concatenate([a ^ c, b ^ d], axis=-1)
 
 
 def _iv_cv(batch):
@@ -82,49 +113,89 @@ def hash_words(words: jnp.ndarray, byte_len: int) -> jnp.ndarray:
     length in bytes (must satisfy W == ceil(byte_len/4); sub-word tails are
     not supported — all framework messages are word-aligned).
     Returns (..., 8) uint32 digests.
+
+    Structure: all chunks advance in lockstep (chunks fold into the batch
+    axis) and the 16 intra-chunk blocks run under lax.scan, so the compiled
+    graph holds ONE compression regardless of message length; chunk CVs then
+    tree-merge with one vectorized compression per parent level.
     """
     assert byte_len % 4 == 0 and words.shape[-1] == byte_len // 4, \
         f"words {words.shape} vs byte_len {byte_len}"
     batch = words.shape[:-1]
     n_chunks = max(1, (byte_len + ref.CHUNK_LEN - 1) // ref.CHUNK_LEN)
+    single_chunk = n_chunks == 1
 
-    def chunk_cv(chunk_words, chunk_byte_len, chunk_counter, is_root):
-        # chunk_words: (..., <=256) u32
-        n_blocks = max(1, (chunk_byte_len + 63) // 64)
-        cv = _iv_cv(batch)
-        for i in range(n_blocks):
-            blk_bytes = min(64, chunk_byte_len - i * 64) if chunk_byte_len else 0
-            blk_words = chunk_words[..., i * 16:i * 16 + (blk_bytes + 3) // 4]
-            pad = 16 - blk_words.shape[-1]
-            if pad:
-                blk_words = jnp.concatenate(
-                    [blk_words, jnp.zeros(batch + (pad,), jnp.uint32)], axis=-1)
-            flags = 0
+    # ---- per-chunk block schedule (static numpy) ----
+    max_blocks = max(1, min(16, (byte_len + 63) // 64)) if single_chunk else 16
+    exists = np.zeros((n_chunks, max_blocks), dtype=bool)
+    blk_len = np.zeros((n_chunks, max_blocks), dtype=np.uint32)
+    flags_np = np.zeros((n_chunks, max_blocks), dtype=np.uint32)
+    for c in range(n_chunks):
+        cbytes = min(ref.CHUNK_LEN, byte_len - c * ref.CHUNK_LEN)
+        nb = max(1, (cbytes + 63) // 64)
+        for i in range(nb):
+            exists[c, i] = True
+            blk_len[c, i] = min(64, cbytes - i * 64) if cbytes else 0
+            fl = 0
             if i == 0:
-                flags |= CHUNK_START
-            if i == n_blocks - 1:
-                flags |= CHUNK_END
-                if is_root:
-                    flags |= ROOT
-            cv = _compress(cv, blk_words, chunk_counter & 0xFFFFFFFF,
-                           chunk_counter >> 32, blk_bytes, flags)
-        return cv
+                fl |= CHUNK_START
+            if i == nb - 1:
+                fl |= CHUNK_END
+                if single_chunk:
+                    fl |= ROOT
+            flags_np[c, i] = fl
 
-    def subtree_cv(sub_words, sub_byte_len, chunk_counter, is_root):
-        nc = max(1, (sub_byte_len + ref.CHUNK_LEN - 1) // ref.CHUNK_LEN)
-        if nc == 1:
-            return chunk_cv(sub_words, sub_byte_len, chunk_counter, is_root)
-        left_n = 1 << ((nc - 1).bit_length() - 1)
-        lw = left_n * 256  # words per full chunk = 1024/4
-        left = subtree_cv(sub_words[..., :lw], left_n * ref.CHUNK_LEN,
-                          chunk_counter, False)
-        right = subtree_cv(sub_words[..., lw:], sub_byte_len - left_n * ref.CHUNK_LEN,
-                           chunk_counter + left_n, False)
-        flags = PARENT | (ROOT if is_root else 0)
+    # ---- pad words to (batch, n_chunks, max_blocks, 16) ----
+    total = n_chunks * max_blocks * 16
+    pad = total - words.shape[-1]
+    if pad:
+        words = jnp.concatenate(
+            [words, jnp.zeros(batch + (pad,), jnp.uint32)], axis=-1)
+    blocks = words.reshape(batch + (n_chunks, max_blocks, 16))
+    # scan axis first: (max_blocks, batch..., n_chunks, 16)
+    blocks = jnp.moveaxis(blocks, -2, 0)
+
+    counters = np.arange(n_chunks, dtype=np.uint32)
+    ctr_lo = jnp.broadcast_to(jnp.asarray(counters), batch + (n_chunks,))
+    ctr_hi = jnp.zeros(batch + (n_chunks,), jnp.uint32)
+
+    cv0 = _iv_cv(batch + (n_chunks,))
+
+    def step(cv, xs):
+        blk, ex, bl, fl = xs
+        new_cv = _compress(cv, blk, ctr_lo, ctr_hi,
+                           jnp.broadcast_to(bl, batch + (n_chunks,)),
+                           jnp.broadcast_to(fl, batch + (n_chunks,)))
+        cv = jnp.where(ex[..., None], new_cv, cv)
+        return cv, None
+
+    xs = (blocks,
+          jnp.asarray(exists.T),      # (max_blocks, n_chunks)
+          jnp.asarray(blk_len.T),
+          jnp.asarray(flags_np.T))
+    # broadcast exists/len/flags over batch inside step via indexing order:
+    # reshape to allow (max_blocks, 1.., n_chunks)
+    expand = (slice(None),) + (None,) * len(batch) + (slice(None),)
+    xs = (blocks, xs[1][expand], xs[2][expand], xs[3][expand])
+    chunk_cvs, _ = jax.lax.scan(step, cv0, xs)
+    # chunk_cvs: (batch..., n_chunks, 8)
+
+    if single_chunk:
+        return chunk_cvs[..., 0, :]
+
+    # ---- left-heavy blake3 tree merge over chunk CVs (static recursion) ----
+    def subtree(lo, hi, is_root):
+        n = hi - lo
+        if n == 1:
+            return chunk_cvs[..., lo, :]
+        left_n = 1 << ((n - 1).bit_length() - 1)
+        left = subtree(lo, lo + left_n, False)
+        right = subtree(lo + left_n, hi, False)
+        fl = PARENT | (ROOT if is_root else 0)
         return _compress(_iv_cv(batch), jnp.concatenate([left, right], axis=-1),
-                         0, 0, 64, flags)
+                         0, 0, 64, fl)
 
-    return subtree_cv(words, byte_len, 0, True)
+    return subtree(0, n_chunks, True)
 
 
 @jax.jit

@@ -61,10 +61,11 @@ def _round(state: List[int], m: Sequence[int]):
 
 def compress(cv: Sequence[int], block_words: Sequence[int], counter: int,
              block_len: int, flags: int) -> List[int]:
-    state = list(cv[:8]) + IV[:4] + [
-        counter & _MASK, (counter >> 32) & _MASK, block_len, flags,
+    state = [int(v) for v in cv[:8]] + IV[:4] + [
+        int(counter) & _MASK, (int(counter) >> 32) & _MASK,
+        int(block_len), int(flags),
     ]
-    m = list(block_words)
+    m = [int(v) for v in block_words]
     for r in range(7):
         _round(state, m)
         if r < 6:

@@ -1,0 +1,83 @@
+"""Batched Blake3 Merkle tree — commitment layer (TPU) + host path logic.
+
+Replaces winterfell's `MerkleTree<Blake3_256>` vector commitment
+(`src/training/prover.rs:226-227`, `src/aggregation/prover.rs:199-200`):
+leaves are 32-byte digests, parent = blake3(left || right).  Tree
+construction is a log-depth batched reduction — each level is one vectorized
+`merge` call over all sibling pairs (TPU VPU work); authentication-path
+extraction and verification are cheap host-side index math.
+
+Digests are (..., 8) uint32 word arrays (little-endian), matching
+`ops/blake3.py`.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import blake3 as b3
+from . import blake3_ref
+
+
+class MerkleTree:
+    """Merkle tree over a power-of-two number of leaf digests.
+
+    levels[0] = leaves (N, 8) uint32; levels[-1] = root (1, 8).
+    """
+
+    def __init__(self, leaves: jnp.ndarray):
+        n = leaves.shape[0]
+        assert n & (n - 1) == 0 and n >= 1, "leaf count must be a power of two"
+        levels = [leaves]
+        cur = leaves
+        while cur.shape[0] > 1:
+            cur = b3.merge(cur[0::2], cur[1::2])
+            levels.append(cur)
+        self.levels = levels
+
+    @property
+    def root(self) -> np.ndarray:
+        return np.asarray(self.levels[-1][0])
+
+    def root_bytes(self) -> bytes:
+        return np.asarray(self.levels[-1][0]).astype("<u4").tobytes()
+
+    @property
+    def depth(self) -> int:
+        return len(self.levels) - 1
+
+    def prove(self, index: int) -> List[np.ndarray]:
+        """Authentication path (sibling digests bottom-up) for one leaf."""
+        path = []
+        idx = index
+        for level in self.levels[:-1]:
+            path.append(np.asarray(level[idx ^ 1]))
+            idx >>= 1
+        return path
+
+    def prove_batch(self, indices: Sequence[int]) -> List[List[np.ndarray]]:
+        # Host extraction; indices are few (num queries ~ 40).
+        levels_np = [np.asarray(l) for l in self.levels[:-1]]
+        out = []
+        for index in indices:
+            path, idx = [], index
+            for level in levels_np:
+                path.append(level[idx ^ 1])
+                idx >>= 1
+            out.append(path)
+        return out
+
+
+def verify_path(leaf_digest: np.ndarray, index: int,
+                path: Sequence[np.ndarray], root: np.ndarray) -> bool:
+    """Host-side (oracle) path verification via the python Blake3."""
+    cur = np.asarray(leaf_digest, dtype=np.uint32).astype("<u4").tobytes()
+    idx = index
+    for sib in path:
+        sib_b = np.asarray(sib, dtype=np.uint32).astype("<u4").tobytes()
+        cur = blake3_ref.merge(sib_b, cur) if idx & 1 else blake3_ref.merge(cur, sib_b)
+        idx >>= 1
+    return cur == np.asarray(root, dtype=np.uint32).astype("<u4").tobytes()

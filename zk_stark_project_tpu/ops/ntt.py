@@ -1,0 +1,188 @@
+"""Radix-2 NTT / iNTT / coset LDE over f128 — JAX, TPU-shaped.
+
+This replaces the engine inside winterfell's `DefaultTraceLde`
+(`src/training/prover.rs:273-281`): polynomial interpolation of trace
+columns and blowup-16 coset low-degree extension (`src/main.rs:98-107`
+options), plus the FRI fold's half-size transforms.
+
+Design notes (TPU-first):
+  * Stage loop with fully-vectorized butterflies: each of the log2(n) stages
+    is ONE field mul + add + sub over n/2 lanes (reshape views, no gathers),
+    so the compiled graph is tiny and the work is pure VPU throughput.
+  * Twiddle tables are built on device by repeated doubling (log2(n) muls),
+    cached per (log2n, inverse); stage twiddles are strided views.
+  * Transforms are batched over leading axes: values shape (8, C, n)
+    transforms each of C columns independently — the multi-column trace LDE
+    is one call.
+  * Natural order in, natural order out (bit-reverse permutation applied on
+    input, host-precomputed index table).
+
+Bit-exact vs `f128_ref.ntt`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import f128
+from . import f128_ref as ref
+
+P = ref.P
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev_np(logn: int) -> np.ndarray:
+    n = 1 << logn
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros_like(idx)
+    for b in range(logn):
+        rev |= ((idx >> b) & 1) << (logn - 1 - b)
+    return rev
+
+
+@functools.lru_cache(maxsize=None)
+def _root_int(logn: int, inverse: bool) -> int:
+    w = ref.root_of_unity(logn)
+    return ref.inv(w) if inverse else w
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddles(logn: int, inverse: bool) -> jnp.ndarray:
+    """Powers w^0..w^(n/2-1) of the size-n root, shape (8, n/2), on device."""
+    n = 1 << logn
+    if n == 1:
+        return f128.ones((1,))
+    w = _root_int(logn, inverse)
+
+    @jax.jit
+    def build():
+        powers = f128.ones((1,))
+        step = f128.from_int(w)  # w^(2^0)
+        cur = 1
+        while cur < n // 2:
+            # powers: w^0..w^(cur-1); append w^cur * powers
+            scale = f128.mul(powers[:, cur - 1:cur], step)
+            powers = jnp.concatenate([powers, f128.mul(powers, scale)], axis=1)
+            cur *= 2
+        if powers.shape[1] > n // 2:
+            powers = powers[:, : n // 2]
+        return powers
+
+    return build()
+
+
+@functools.lru_cache(maxsize=None)
+def _n_inv_limbs(logn: int) -> jnp.ndarray:
+    return f128.from_int(ref.inv(1 << logn))
+
+
+def _apply_stages(a: jnp.ndarray, logn: int, inverse: bool) -> jnp.ndarray:
+    """Cooley-Tukey DIT stages on bit-reversed input.  a: (8, ..., n)."""
+    n = 1 << logn
+    tw_full = _twiddles(logn, inverse)  # (8, n/2) powers of w_n
+    batch = a.shape[1:-1]
+    for s in range(1, logn + 1):
+        m = 1 << s
+        half = m // 2
+        # stage twiddles: w_m^k = w_n^(k * n/m), k in [0, half)
+        tw = tw_full[:, :: n // m][:, :half]  # (8, half)
+        v = a.reshape((8,) + batch + (n // m, m))
+        u = v[..., :half]
+        t = f128.mul(v[..., half:], tw.reshape((8,) + (1,) * len(batch) + (1, half)))
+        a = jnp.concatenate([f128.add(u, t), f128.sub(u, t)], axis=-1)
+        a = a.reshape((8,) + batch + (n,))
+    return a
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def ntt(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """In-order NTT/iNTT over the size-n subgroup.  values: (8, ..., n)."""
+    n = values.shape[-1]
+    logn = n.bit_length() - 1
+    assert 1 << logn == n, "NTT size must be a power of two"
+    if n == 1:
+        return values
+    rev = jnp.asarray(_bitrev_np(logn))
+    a = jnp.take(values, rev, axis=-1)
+    a = _apply_stages(a, logn, inverse)
+    if inverse:
+        a = f128.mul(a, jnp.broadcast_to(
+            _n_inv_limbs(logn).reshape((8,) + (1,) * (a.ndim - 1)), a.shape))
+    return a
+
+
+def interpolate(evals: jnp.ndarray) -> jnp.ndarray:
+    """Evaluations over the size-n subgroup (natural order) -> coefficients."""
+    return ntt(evals, inverse=True)
+
+
+@functools.lru_cache(maxsize=None)
+def _offset_powers(log2_n: int, offset: int, inverse: bool) -> jnp.ndarray:
+    """offset^0..offset^(n-1) (or inverse offset), shape (8, n)."""
+    n = 1 << log2_n
+    o = ref.inv(offset) if inverse else (offset % P)
+
+    @jax.jit
+    def build():
+        powers = f128.ones((1,))
+        step = f128.from_int(o)
+        cur = 1
+        while cur < n:
+            scale = f128.mul(powers[:, cur - 1:cur], step)
+            powers = jnp.concatenate([powers, f128.mul(powers, scale)], axis=1)
+            cur *= 2
+        return powers[:, :n]
+
+    return build()
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def coset_evaluate(coeffs: jnp.ndarray, offset: int, blowup: int = 1) -> jnp.ndarray:
+    """Evaluate polys over the coset offset*<w_N> with N = blowup * n.
+
+    coeffs: (8, ..., n).  Returns (8, ..., N) evaluations in natural domain
+    order (domain element i = offset * w_N^i).  This is the trace LDE
+    (blowup 16 in the reference's options, `src/main.rs:98-107`).
+    """
+    n = coeffs.shape[-1]
+    N = n * blowup
+    if blowup > 1:
+        pad = jnp.zeros(coeffs.shape[:-1] + (N - n,), dtype=jnp.uint32)
+        coeffs = jnp.concatenate([coeffs, pad], axis=-1)
+    logN = N.bit_length() - 1
+    po = _offset_powers(logN, offset, False)  # (8, N)
+    scaled = f128.mul(coeffs, po.reshape((8,) + (1,) * (coeffs.ndim - 2) + (N,)))
+    return ntt(scaled)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def coset_interpolate(evals: jnp.ndarray, offset: int) -> jnp.ndarray:
+    """Inverse of coset_evaluate at blowup 1: evals over offset*<w_n> ->
+    coefficients."""
+    n = evals.shape[-1]
+    logn = n.bit_length() - 1
+    coeffs = ntt(evals, inverse=True)
+    po_inv = _offset_powers(logn, offset, True)
+    return f128.mul(coeffs, po_inv.reshape((8,) + (1,) * (coeffs.ndim - 2) + (n,)))
+
+
+# ---------------------------------------------------------------------------
+# Host-side domain helpers
+# ---------------------------------------------------------------------------
+
+
+def domain_points(log2_n: int, offset: int = 1) -> np.ndarray:
+    """Python-int ndarray of the domain offset * <w_n> in natural order."""
+    n = 1 << log2_n
+    w = ref.root_of_unity(log2_n)
+    out = np.zeros(n, dtype=object)
+    cur = offset % P
+    for i in range(n):
+        out[i] = cur
+        cur = (cur * w) % P
+    return out
