@@ -1,0 +1,199 @@
+"""CLI driver — the reference binary's contract (`src/main.rs:56-74`):
+
+    python -m zk_stark_project_tpu --step {setup|witness|proof} \
+        --data-dir DIR --bs N [--verbose] [--seed S]
+
+Same 3-step workflow and the same machine-parseable output lines the
+benchmark harness greps ("Proof size: N bytes" etc., `src/main.rs:241,474,
+489-491` parsed by `verification/time_memory_analytics/analyze.py:476-482`).
+
+Extra over the reference: `--seed` makes every RNG stream (batch sampling,
+model init, masks, blinding) deterministic (SURVEY.md pin #4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from .models import ml_math
+from .models.aggregation import GlobalUpdateProver
+from .models.ml_math import AC, FE
+from .models.training import TrainingUpdateProver
+from .ops import f128_ref as ref
+from .ops.signed import f64_to_felt
+from .prover import REFERENCE_OPTIONS, ProofOptions, prove
+from .utils.data import EdgeDevice, discover_devices
+from .verifier import verify
+
+#: host-side sample size (`src/main.rs:77`).
+SAMPLE_SIZE = 50
+
+
+def _train_one_device(device: EdgeDevice, bs: int, options: ProofOptions,
+                      rng: np.random.Generator, do_prove: bool,
+                      verbose: bool, index: int):
+    """One device's training statement: sample -> encode -> trace [-> prove
+    -> verify].  Returns (client_rep, proof_size)."""
+    host_feats, host_labs = device.next_batch(SAMPLE_SIZE)
+    if len(host_feats) < bs:
+        if verbose:
+            print(f"Warning: Device {index + 1} has fewer samples than "
+                  f"ZK batch size", file=sys.stderr)
+        return None, 0
+    zk_feats = [[f64_to_felt(v) for v in row] for row in host_feats[:bs]]
+    zk_labs = [ml_math.label_to_one_hot(l, AC, 1e6) for l in host_labs[:bs]]
+    zk_feats_sign = [[0] * FE for _ in range(bs)]
+    w, ws, b, bsn = ml_math.generate_initial_model(FE, AC, 1.0, rng)
+    lr = f64_to_felt(0.0001)
+    pr = f64_to_felt(1e6)
+    tp = TrainingUpdateProver(options, w, b, ws, bsn, zk_feats,
+                              zk_feats_sign, zk_labs, lr, pr, bs, rng=rng)
+    t0 = time.time()
+    trace = tp.build_trace()
+    proof_size = 0
+    if do_prove:
+        air = tp.air()
+        proof = prove(air, trace)
+        proof_size = proof.size_bytes
+        verify(air, proof)
+        if verbose:
+            print(f"Device {index + 1:>2}: ZK proof for {bs} samples: "
+                  f"gen = {int((time.time() - t0) * 1000):>4}ms, "
+                  f"size = {proof_size} bytes")
+            print(f"Training proof size: {proof_size} bytes")
+    # client rep = masked cell (0, last) (`src/main.rs:260`)
+    client_rep = trace.get(0, trace.length - 1)
+    return client_rep, proof_size
+
+
+def _reps_to_locals(client_reps: List[int]):
+    """Collapse client reps into tiled local models (`src/main.rs:264-272`
+    — the reference's acknowledged simplification)."""
+    local_w, local_b = [], []
+    for rep in client_reps:
+        v = rep / 1e6  # rep.as_int() as f64 / 1e6
+        local_w.append([[f64_to_felt(v)] * FE for _ in range(AC)])
+        local_b.append([f64_to_felt(v)] * AC)
+    return local_w, local_b
+
+
+def _build_aggregator(client_reps, options, rng):
+    local_w, local_b = _reps_to_locals(client_reps)
+    g_w, _, g_b, _ = ml_math.generate_initial_model(FE, AC, 10_000.0, rng)
+    k = f64_to_felt(float(len(client_reps)))
+    return GlobalUpdateProver(options, g_w, g_b, local_w, local_b, k, rng=rng)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="zk_stark_project_tpu",
+        description="STARK Aggregator with built-in training (TPU-native)")
+    parser.add_argument("--step", default="setup",
+                        choices=["setup", "witness", "proof"])
+    parser.add_argument("--data-dir", default="devices/edge_device/data")
+    parser.add_argument("--bs", type=int, default=1)
+    parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--seed", type=int, default=None,
+                        help="seed all RNG streams (bit-reproducible runs)")
+    parser.add_argument("--queries", type=int, default=None,
+                        help="override proof options (testing only)")
+    parser.add_argument("--blowup", type=int, default=None)
+    parser.add_argument("--grinding", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    overall_start = time.time()
+    if args.bs <= 0:
+        print("ZK circuit batch size must be positive", file=sys.stderr)
+        return 1
+    if args.bs > SAMPLE_SIZE:
+        print(f"ZK circuit batch size ({args.bs}) cannot exceed sample size "
+              f"({SAMPLE_SIZE})", file=sys.stderr)
+        return 1
+
+    options = REFERENCE_OPTIONS
+    if args.queries or args.blowup or args.grinding is not None:
+        options = ProofOptions(
+            num_queries=args.queries or options.num_queries,
+            blowup_factor=args.blowup or options.blowup_factor,
+            grinding_bits=(args.grinding if args.grinding is not None
+                           else options.grinding_bits),
+            fri_folding_factor=options.fri_folding_factor,
+            fri_remainder_max_degree=options.fri_remainder_max_degree)
+
+    rng = np.random.default_rng(args.seed)
+    devices = discover_devices(args.data_dir, verbose=args.verbose, rng=rng)
+    if not devices:
+        print("No Device_* data found!", file=sys.stderr)
+        return 1
+    if args.verbose:
+        print(f"-> Found {len(devices)} devices\n")
+
+    step_start = time.time()
+    do_prove_training = args.step in ("setup", "proof")
+
+    client_reps: List[int] = []
+    total_training_proof_size = 0
+    if args.verbose and do_prove_training:
+        print("--- Client Training Updates ---")
+    for i, dev in enumerate(devices):
+        rep, psize = _train_one_device(dev, args.bs, options, rng,
+                                       do_prove_training, args.verbose, i)
+        if rep is None:
+            continue
+        client_reps.append(rep)
+        total_training_proof_size += psize
+
+    agg = _build_aggregator(client_reps, options, rng)
+
+    if args.step == "setup":
+        if args.verbose:
+            print(f"STEP=setup: Generated {len(client_reps)} ZK proofs "
+                  f"(bs={args.bs})")
+            print(f"Total training proof size: "
+                  f"{total_training_proof_size} bytes")
+    elif args.step == "witness":
+        t = time.time()
+        tr = agg.build_trace()
+        if args.verbose:
+            print(f"witness: {tr.length} rows in "
+                  f"{int((time.time() - t) * 1000)}ms")
+    else:  # proof
+        t1 = time.time()
+        tr = agg.build_trace()
+        if args.verbose:
+            print(f"trace: {tr.length} rows in "
+                  f"{int((time.time() - t1) * 1000)}ms")
+        t2 = time.time()
+        air = agg.air()
+        pf = prove(air, tr)
+        aggregation_proof_size = pf.size_bytes
+        if args.verbose:
+            print(f"proof: {int((time.time() - t2) * 1000)}ms, "
+                  f"{aggregation_proof_size} bytes")
+            print(f"Proof size: {aggregation_proof_size} bytes")
+            print("verifying... ", end="")
+        verify(air, pf)
+        if args.verbose:
+            print("OK")
+            print(f"Total training proof size: "
+                  f"{total_training_proof_size} bytes")
+            print(f"Aggregation proof size: {aggregation_proof_size} bytes")
+            print(f"Total proof size: "
+                  f"{total_training_proof_size + aggregation_proof_size} "
+                  f"bytes")
+
+    if args.verbose:
+        print(f"\nStep '{args.step}' completed in: "
+              f"{int((time.time() - step_start) * 1000)}ms")
+        print(f"Overall runtime: "
+              f"{int((time.time() - overall_start) * 1000)}ms")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

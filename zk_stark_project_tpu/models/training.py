@@ -1,0 +1,235 @@
+"""Training-update STARK statement (masked SGD step batch).
+
+Port of `src/training/{air,prover}.rs`: the trace has width 4*(AC*FE+AC)
+= 240 — first half is the masked interleaved state [v0+m, s0+m', ...],
+second half the masks — and length max(16, next_pow2(2*60*bs))
+(`src/training/prover.rs:65`).  Row i for 1 <= i <= bs applies sample i-1's
+SGD step to the raw state; rows beyond bs re-mask the same state with fresh
+masks (`src/training/prover.rs:136-200`).
+
+Per SURVEY.md pin #3 the reference's transition constraints are inert (the
+`current_step()` stub at `src/helper.rs:136-147` always returns 0, so
+`evaluate_transition` always writes zeros, `src/training/air.rs:274-286`);
+only the masked boundary assertions bind.  This AIR reproduces that exactly
+(`transitions are identically zero`), keeping the same declared constraint
+count/degrees so proof shapes match.
+
+Trace building runs as a JAX scan over the batch samples (vectorized signed
+field ops over the 60 state cells), then one vectorized mask-add over all
+rows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import f128
+from ..ops import f128_ref as ref
+from ..ops.signed import f64_to_felt
+from ..prover.air import Air, Assertion
+from ..prover.options import ProofOptions
+from ..prover.trace import TraceTable
+from . import ml_math
+from .ml_math import AC, FE
+
+
+@dataclasses.dataclass
+class TrainingUpdateInputs:
+    """`src/training/air.rs:18-33`."""
+    initial_masked: List[int]   # 2*(AC*FE+AC) interleaved [v,s] + mask
+    final_masked: List[int]
+    steps: int                  # trace_length - 1
+    x_batch: List[List[int]]    # bs x FE
+    y_batch: List[List[int]]    # bs x AC (one-hot, scaled)
+    learning_rate: int
+    precision: int
+    batch_size: int
+
+    def to_elements(self) -> List[int]:
+        """`src/training/air.rs:70-94`.  NOTE steps and batch_size go in as
+        f64_to_felt (x1e6) — unlike aggregation (SURVEY.md pin #5)."""
+        out = list(self.initial_masked)
+        out.extend(self.final_masked)
+        out.append(f64_to_felt(float(self.steps)))
+        out.append(f64_to_felt(float(self.batch_size)))
+        for row in self.x_batch:
+            out.extend(row)
+        for row in self.y_batch:
+            out.extend(row)
+        out.append(self.learning_rate)
+        out.append(self.precision)
+        return out
+
+
+class TrainingUpdateAir(Air):
+    """`src/training/air.rs:101-291` (with the inert-transition semantics
+    reproduced exactly — pin #3)."""
+
+    #: composer shortcut: all transition evaluations are identically zero.
+    all_transitions_zero = True
+
+    def __init__(self, trace_length: int, pub_inputs: TrainingUpdateInputs,
+                 options: ProofOptions):
+        width = 4 * (AC * FE + AC)
+        super().__init__(trace_width=width, trace_length=trace_length,
+                         options=options)
+        self.pub_inputs = pub_inputs
+        # declared: one degree-1 constraint per column (`src/training/air.rs:107`)
+        self.transition_degrees = [1] * width
+        assert len(pub_inputs.x_batch) == pub_inputs.batch_size
+        assert len(pub_inputs.y_batch) == pub_inputs.batch_size
+
+    def get_assertions(self) -> List[Assertion]:
+        """Masked initial state at row 0, masked final at row n
+        (`src/training/air.rs:130-151`)."""
+        half = self.trace_width // 2
+        n = self.trace_length - 1
+        out = [Assertion(i, 0, self.pub_inputs.initial_masked[i])
+               for i in range(half)]
+        out += [Assertion(i, n, self.pub_inputs.final_masked[i])
+                for i in range(half)]
+        return out
+
+    def evaluate_transitions_jax(self, cur: jnp.ndarray,
+                                 nxt: jnp.ndarray) -> jnp.ndarray:
+        d = cur.shape[2]
+        return jnp.zeros((8, self.trace_width, d), dtype=jnp.uint32)
+
+    def evaluate_transitions_at(self, cur: Sequence[int],
+                                nxt: Sequence[int]) -> List[int]:
+        return [0] * self.trace_width
+
+    def pub_input_elements(self) -> List[int]:
+        return self.pub_inputs.to_elements()
+
+
+def trace_length_for(batch_size: int) -> int:
+    """max(16, next_pow2(2 * 60 * bs)) (`src/training/prover.rs:65`)."""
+    cells = ml_math.STATE_CELLS
+    return max(16, 1 << (2 * cells * batch_size - 1).bit_length())
+
+
+def _raw_states_chain(state0, x_batch, y_batch, lr_int: int, pr_int: int):
+    """Run the SGD chain over the batch *eagerly*: each signed field op is a
+    small jitted kernel reused across samples.  (A single fused scan graph
+    inlines hundreds of limb-multiplies and makes XLA compiles blow up;
+    per-op dispatch on 60-cell states costs microseconds.)
+
+    state0: (w (8,AC,FE), ws, b (8,AC), bs) limbs.
+    x_batch: (8, BS, FE); y_batch: (8, BS, AC).
+    Returns stacked per-sample post-states, each (8, BS, ...).
+    """
+    bs = x_batch.shape[1]
+    w, ws, b, bsn = state0
+    outs = []
+    xs = f128.zeros((x_batch.shape[2],))  # feature signs all zero (`src/main.rs:192-196`)
+    for i in range(bs):
+        w, ws, b, bsn = ml_math.sgd_step(
+            w, ws, b, bsn, x_batch[:, i], xs, y_batch[:, i], lr_int, pr_int)
+        outs.append((w, ws, b, bsn))
+    return tuple(jnp.stack([o[j] for o in outs], axis=1) for j in range(4))
+
+
+@jax.jit
+def _interleave_flatten(w, ws, b, bs):
+    """(8, R, AC, FE)x2 + (8, R, AC)x2 -> (8, R, 120) interleaved
+    [v0,s0,v1,s1,...] weights row-major then biases."""
+    r = w.shape[1]
+    wv = jnp.stack([w.reshape(8, r, AC * FE), ws.reshape(8, r, AC * FE)],
+                   axis=-1).reshape(8, r, 2 * AC * FE)
+    bv = jnp.stack([b, bs], axis=-1).reshape(8, r, 2 * AC)
+    return jnp.concatenate([wv, bv], axis=-1)
+
+
+class TrainingUpdateProver:
+    """`src/training/prover.rs:17-218`.  Mask RNG is injectable (pin #4)."""
+
+    def __init__(self, options: ProofOptions,
+                 initial_w: List[List[int]], initial_b: List[int],
+                 w_sign: List[List[int]], b_sign: List[int],
+                 x_batch: List[List[int]], x_batch_sign: List[List[int]],
+                 y_batch: List[List[int]],
+                 learning_rate: int, precision: int, batch_size: int,
+                 rng: Optional[np.random.Generator] = None,
+                 masks: Optional[np.ndarray] = None):
+        assert len(x_batch) == batch_size
+        assert len(y_batch) == batch_size
+        self.options = options
+        self.initial_w, self.initial_b = initial_w, initial_b
+        self.w_sign, self.b_sign = w_sign, b_sign
+        self.x_batch, self.x_batch_sign = x_batch, x_batch_sign
+        self.y_batch = y_batch
+        self.learning_rate = learning_rate % ref.P
+        self.precision = precision % ref.P
+        self.batch_size = batch_size
+        self.trace_length = trace_length_for(batch_size)
+        flat_len = 2 * ml_math.STATE_CELLS
+        if masks is None:
+            rng = rng if rng is not None else np.random.default_rng()
+            # fresh u64 mask per cell per row (`src/training/prover.rs:117-121`)
+            masks = rng.integers(0, 2 ** 64, size=(self.trace_length, flat_len),
+                                 dtype=np.uint64)
+        self.masks = np.asarray(masks, dtype=np.uint64)
+        assert self.masks.shape == (self.trace_length, flat_len)
+        self._trace = None
+
+    def build_trace(self) -> TraceTable:
+        if self._trace is not None:
+            return self._trace
+        n, bs = self.trace_length, self.batch_size
+        flat_len = 2 * ml_math.STATE_CELLS
+
+        w0 = f128.from_ints(np.asarray(self.initial_w, dtype=object))
+        ws0 = f128.from_ints(np.asarray(self.w_sign, dtype=object))
+        b0 = f128.from_ints(np.asarray(self.initial_b, dtype=object))
+        bs0 = f128.from_ints(np.asarray(self.b_sign, dtype=object))
+        xb = f128.from_ints(np.asarray(self.x_batch, dtype=object))   # (8,BS,FE)
+        yb = f128.from_ints(np.asarray(self.y_batch, dtype=object))   # (8,BS,AC)
+
+        w_seq, ws_seq, b_seq, bs_seq = _raw_states_chain(
+            (w0, ws0, b0, bs0), xb, yb, self.learning_rate, self.precision)
+
+        # per-row raw state: row 0 = initial; rows 1..bs = post-sample states;
+        # rows > bs hold the final state (`src/training/prover.rs:136-200`)
+        def cat(init, seq):
+            init = init[:, None]
+            tail = jnp.repeat(seq[:, -1:], n - bs - 1, axis=1)
+            return jnp.concatenate([init, seq, tail], axis=1)
+
+        w_rows = cat(w0, w_seq)     # (8, n, AC, FE)
+        ws_rows = cat(ws0, ws_seq)
+        b_rows = cat(b0, b_seq)     # (8, n, AC)
+        bs_rows = cat(bs0, bs_seq)
+
+        raw = _interleave_flatten(w_rows, ws_rows, b_rows, bs_rows)  # (8,n,120)
+        mask = f128.from_ints(self.masks.astype(object))             # (8,n,120)
+        masked = f128.add(raw, mask)
+        rows = jnp.concatenate([masked, mask], axis=-1)              # (8,n,240)
+        self._trace = TraceTable(jnp.moveaxis(rows, 1, 2))           # (8,240,n)
+        return self._trace
+
+    def get_pub_inputs(self) -> TrainingUpdateInputs:
+        """`src/training/prover.rs:235-267`."""
+        trace = self.build_trace()
+        half = trace.width // 2
+        data = np.asarray(trace.data)
+        initial_masked = [int(ref.from_limbs(data[:, c, 0]))
+                          for c in range(half)]
+        final_masked = [int(ref.from_limbs(data[:, c, trace.length - 1]))
+                        for c in range(half)]
+        return TrainingUpdateInputs(
+            initial_masked=initial_masked, final_masked=final_masked,
+            steps=self.trace_length - 1,
+            x_batch=self.x_batch, y_batch=self.y_batch,
+            learning_rate=self.learning_rate, precision=self.precision,
+            batch_size=self.batch_size)
+
+    def air(self) -> TrainingUpdateAir:
+        return TrainingUpdateAir(self.trace_length, self.get_pub_inputs(),
+                                 self.options)

@@ -53,14 +53,17 @@ def _root_int(logn: int, inverse: bool) -> int:
 
 @functools.lru_cache(maxsize=None)
 def _twiddles(logn: int, inverse: bool) -> jnp.ndarray:
-    """Powers w^0..w^(n/2-1) of the size-n root, shape (8, n/2), on device."""
+    """Powers w^0..w^(n/2-1) of the size-n root, shape (8, n/2), on device.
+
+    Built under `ensure_compile_time_eval` so the cached table is a concrete
+    array even when the first call happens inside another jit trace (an
+    lru-cached tracer would escape its trace and poison later calls)."""
     n = 1 << logn
     if n == 1:
         return f128.ones((1,))
     w = _root_int(logn, inverse)
 
-    @jax.jit
-    def build():
+    with jax.ensure_compile_time_eval():
         powers = f128.ones((1,))
         step = f128.from_int(w)  # w^(2^0)
         cur = 1
@@ -71,14 +74,13 @@ def _twiddles(logn: int, inverse: bool) -> jnp.ndarray:
             cur *= 2
         if powers.shape[1] > n // 2:
             powers = powers[:, : n // 2]
-        return powers
-
-    return build()
+        return jax.block_until_ready(powers)
 
 
 @functools.lru_cache(maxsize=None)
 def _n_inv_limbs(logn: int) -> jnp.ndarray:
-    return f128.from_int(ref.inv(1 << logn))
+    with jax.ensure_compile_time_eval():
+        return jax.block_until_ready(f128.from_int(ref.inv(1 << logn)))
 
 
 def _apply_stages(a: jnp.ndarray, logn: int, inverse: bool) -> jnp.ndarray:
@@ -123,12 +125,12 @@ def interpolate(evals: jnp.ndarray) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _offset_powers(log2_n: int, offset: int, inverse: bool) -> jnp.ndarray:
-    """offset^0..offset^(n-1) (or inverse offset), shape (8, n)."""
+    """offset^0..offset^(n-1) (or inverse offset), shape (8, n).  Concrete
+    even under an enclosing trace (see `_twiddles`)."""
     n = 1 << log2_n
     o = ref.inv(offset) if inverse else (offset % P)
 
-    @jax.jit
-    def build():
+    with jax.ensure_compile_time_eval():
         powers = f128.ones((1,))
         step = f128.from_int(o)
         cur = 1
@@ -136,9 +138,7 @@ def _offset_powers(log2_n: int, offset: int, inverse: bool) -> jnp.ndarray:
             scale = f128.mul(powers[:, cur - 1:cur], step)
             powers = jnp.concatenate([powers, f128.mul(powers, scale)], axis=1)
             cur *= 2
-        return powers[:, :n]
-
-    return build()
+        return jax.block_until_ready(powers[:, :n])
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))

@@ -1,0 +1,206 @@
+"""FRI (Fast Reed-Solomon IOP of proximity) — prover folds on device, fold
+verification on host.
+
+TPU-native replacement for winterfell's FRI prover with the reference's
+parameters: folding factor 16, remainder max degree 7
+(`src/main.rs:98-107`).  Per layer the prover
+
+  1. commits to the current evaluations arranged in transposed cosets
+     (leaf i = blake3 of the F values {f(x) : x^F = y_i}), so one opened leaf
+     feeds a full fold check;
+  2. draws beta from the channel and folds: writing
+     f(x) = sum_j x^j f_j(x^F), the next layer is f'(y) = sum_j beta^j f_j(y).
+     On the coset {x_c * eta^k} (eta the F-th root of unity inside the
+     domain) the interpolant q_c satisfies q_c(beta) = f'(x_c^F), and its
+     "scaled coefficients" a_j = f_j(y) * x_c^j come out of ONE batched
+     size-F inverse NTT — so a fold is: reshape (F, M), iNTT along F, then a
+     Horner accumulation in base (beta / x_c).  All VPU work, no gathers.
+
+Folding continues while the degree bound exceeds `remainder_max_degree`;
+the final layer is sent in the clear as remainder polynomial coefficients.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import functools
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import blake3 as b3
+from ..ops import f128
+from ..ops import f128_ref as ref
+from ..ops import merkle, ntt
+from . import poly
+
+
+def num_fri_layers(trace_length: int, folding_factor: int,
+                   remainder_max_degree: int) -> int:
+    """Number of folds for an initial degree bound of trace_length - 1."""
+    deg = trace_length - 1
+    layers = 0
+    while deg > remainder_max_degree:
+        deg = (deg + 1) // folding_factor - 1
+        layers += 1
+    return layers
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def fold_evals(evals: jnp.ndarray, beta: jnp.ndarray, offset: int,
+               log2_n: int, factor: int) -> jnp.ndarray:
+    """One FRI fold: (8, N) evaluations over the coset offset*<w_N> (natural
+    order) -> (8, N/F) evaluations of the folded poly over offset^F*<w_N^F>.
+
+    beta: (8,) drawn folding randomness.
+    """
+    n = 1 << log2_n
+    m = n // factor
+    assert evals.shape == (8, n)
+    # position p = k*m + c  ->  coset c, member k  (x_{c,k} = x_c * eta^k)
+    v = evals.reshape(8, factor, m)
+    v = jnp.moveaxis(v, 1, 2)  # (8, m, factor)
+    a = ntt.ntt(v, inverse=True)  # scaled coeffs a_j = f_j(y) x_c^j, (8,m,F)
+    # base_c = beta / x_c ;  x_c^{-1} = offset^{-1} * w^{-c}
+    w_inv_pows = ntt._offset_powers(log2_n - (factor.bit_length() - 1),
+                                    ref.root_of_unity(log2_n), True)[:, :m]
+    o_inv = f128.from_int(ref.inv(offset)).reshape(8, 1)
+    x_inv = f128.mul(w_inv_pows, o_inv)           # (8, m)
+    base = f128.mul(x_inv, beta.reshape(8, 1))    # (8, m)
+    # q_c(beta) = sum_j a_j * base^j: per-coset power table built by doubling
+    # (log F muls), then ONE batched mul + log-depth sum — a chained Horner
+    # accumulation would both serialize the VPU and blow up XLA compiles.
+    powers = f128.ones((m, 1))
+    step = base[..., None]                        # (8, m, 1)
+    cur = 1
+    while cur < factor:
+        powers = jnp.concatenate([powers, f128.mul(powers, step)], axis=-1)
+        step = f128.mul(step, step)
+        cur *= 2
+    return poly.tree_sum(f128.mul(a, powers))
+
+
+def commit_layer(evals: jnp.ndarray, factor: int) -> merkle.MerkleTree:
+    """Merkle-commit a layer: leaf c = blake3 of the F coset values
+    (canonical LE bytes), matching the transposed-coset layout."""
+    n = evals.shape[-1]
+    m = n // factor
+    words = f128.to_uint32_words(evals)            # (4, N) canonical
+    words = words.reshape(4, factor, m)
+    words = jnp.moveaxis(words, 0, -1)             # (factor, m, 4)
+    words = jnp.moveaxis(words, 0, 1).reshape(m, factor * 4)
+    leaves = b3.hash_words(words, factor * 16)
+    return merkle.MerkleTree(leaves)
+
+
+@dataclasses.dataclass
+class FriLayer:
+    tree: merkle.MerkleTree
+    evals_np: np.ndarray     # (8, N) uint32 limbs, kept for query opening
+    domain_offset: int
+    log2_n: int
+
+
+class FriProver:
+    """Runs the FRI commit phase; query opening happens after positions are
+    drawn."""
+
+    def __init__(self, folding_factor: int, remainder_max_degree: int):
+        self.factor = folding_factor
+        self.remainder_max_degree = remainder_max_degree
+
+    def build_layers(self, channel, evals: jnp.ndarray, domain_offset: int,
+                     trace_length: int) -> Tuple[List[FriLayer], List[int]]:
+        """Fold until the degree bound is <= remainder_max_degree.
+
+        channel: prover channel (reseed + draw).  evals: (8, N) DEEP poly
+        evaluations over domain_offset*<w_N>.  Returns (layers, remainder
+        coefficients as python ints).
+        """
+        layers: List[FriLayer] = []
+        cur = evals
+        offset = domain_offset
+        n = evals.shape[-1]
+        deg = trace_length - 1
+        while deg > self.remainder_max_degree:
+            log2_n = n.bit_length() - 1
+            tree = commit_layer(cur, self.factor)
+            channel.reseed_root(tree.root_bytes())
+            beta_int = channel.coin.draw()
+            beta = f128.from_int(beta_int)
+            layers.append(FriLayer(tree=tree, evals_np=np.asarray(cur),
+                                   domain_offset=offset, log2_n=log2_n))
+            cur = fold_evals(cur, beta, offset, log2_n, self.factor)
+            offset = pow(offset, self.factor, ref.P)
+            n //= self.factor
+            deg = (deg + 1) // self.factor - 1
+
+        # remainder: interpolate the last layer over its coset
+        coeffs = ntt.coset_interpolate(cur, offset)
+        coeffs_int = [int(x) for x in f128.to_ints(coeffs)]
+        assert all(c == 0 for c in coeffs_int[self.remainder_max_degree + 1:]), \
+            "FRI remainder exceeds max degree — prover bug"
+        remainder = coeffs_int[: self.remainder_max_degree + 1]
+        channel.reseed_elements(remainder)
+        return layers, remainder
+
+    def open_queries(self, layers: List[FriLayer],
+                     positions: Sequence[int]):
+        """For each layer, open the (deduped) coset leaves the given query
+        positions touch.  Returns per-layer lists of MerkleOpening with
+        position = coset index and values = the F coset values."""
+        from .proof import MerkleOpening
+
+        out = []
+        pos = list(positions)
+        for layer in layers:
+            n = 1 << layer.log2_n
+            m = n // self.factor
+            folded = fold_positions(pos, m)
+            openings = []
+            limbs = layer.evals_np  # (8, n)
+            for c in folded:
+                idx = [k * m + c for k in range(self.factor)]
+                vals = [int(ref.from_limbs(limbs[:, i])) for i in idx]
+                path = [np.asarray(d).astype("<u4").tobytes()
+                        for d in layer.tree.prove(c)]
+                openings.append(MerkleOpening(position=c, values=vals,
+                                              path=path))
+            out.append(openings)
+            pos = folded
+        return out
+
+
+def fold_positions(positions: Sequence[int], folded_size: int) -> List[int]:
+    """Map layer positions to next-layer (coset) positions, deduplicated in
+    first-seen order."""
+    seen, out = set(), []
+    for p in positions:
+        c = p % folded_size
+        if c not in seen:
+            seen.add(c)
+            out.append(c)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Host-side fold verification (python ints) — used by the verifier.
+# ---------------------------------------------------------------------------
+
+
+def verify_fold_host(coset_values: Sequence[int], coset_index: int,
+                     log2_n: int, domain_offset: int, beta: int,
+                     factor: int) -> int:
+    """Given the F values on coset `coset_index` of a size-2^log2_n domain,
+    return the folded value f'(y) = q_c(beta)."""
+    m = (1 << log2_n) // factor
+    a = ref.ntt(list(coset_values), invert=True)  # a_j = f_j(y) x_c^j
+    x_c = (domain_offset * pow(ref.root_of_unity(log2_n), coset_index, ref.P)) % ref.P
+    base = (beta * ref.inv(x_c)) % ref.P
+    acc, t = a[0], base
+    for j in range(1, factor):
+        acc = (acc + a[j] * t) % ref.P
+        t = (t * base) % ref.P
+    return acc

@@ -1,0 +1,354 @@
+"""STARK prover — the full pipeline winterfell runs inside `prove()`
+(invoked by the reference at `src/main.rs:228,468`):
+
+  trace -> interpolation -> blowup-16 coset LDE -> Blake3 Merkle trace
+  commitment -> constraint evaluation over the CE domain -> algebraic
+  composition -> composition-poly commitment -> OOD (DEEP) evaluations at z
+  -> DEEP composition polynomial -> FRI (fold 16) -> 21-bit grinding ->
+  query openings.
+
+Heavy phases (NTT/LDE, row hashing, constraint eval, DEEP, FRI folds,
+grinding search) run on device as batched JAX ops; the Fiat–Shamir
+transcript and proof assembly run on the host (they are sequential and
+tiny).  The companion verifier (`verifier/verify.py`) is host-only python
+ints for auditability.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import blake3 as b3
+from ..ops import f128
+from ..ops import f128_ref as ref
+from ..ops import merkle, ntt
+from . import fri, poly
+from .air import Air, Assertion
+from .channel import RandomCoin, context_bytes, digest_words_to_bytes
+from .proof import MerkleOpening, Proof
+
+
+class ProverChannel:
+    """Host-side wrapper pairing the random coin with proof assembly."""
+
+    def __init__(self, air: Air):
+        self.coin = RandomCoin(context_bytes(
+            air.pub_input_bytes(), air.trace_width, air.trace_length,
+            air.options))
+
+    def reseed_root(self, root: bytes) -> None:
+        self.coin.reseed(root)
+
+    def reseed_elements(self, xs: Sequence[int]) -> None:
+        self.coin.reseed_with_elements(xs)
+
+
+# ---------------------------------------------------------------------------
+# Device helpers
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _domain_dev(log2_size: int, offset: int) -> jnp.ndarray:
+    """Device table of the domain points offset * w^i, (8, 2^log2_size).
+    Concrete even if first built under a trace (lru-cached device tables
+    must never capture tracers)."""
+    w = ref.root_of_unity(log2_size)
+    with jax.ensure_compile_time_eval():
+        pows = ntt._offset_powers(log2_size, w, False)
+        return jax.block_until_ready(
+            f128.mul(pows, f128.from_int(offset).reshape(8, 1)))
+
+
+@functools.lru_cache(maxsize=None)
+def _zerofier_inv_tile(trace_length: int, ce_blowup: int,
+                       offset: int) -> jnp.ndarray:
+    """inv(x^n - 1) over the CE domain — periodic with period ce_blowup, so
+    it is a host-computed table tiled to (8, n*ce_blowup)."""
+    n, d = trace_length, trace_length * ce_blowup
+    w_ce = ref.root_of_unity(d.bit_length() - 1)
+    base = pow(offset, n, ref.P)
+    step = pow(w_ce, n, ref.P)
+    vals = []
+    cur = base
+    for _ in range(ce_blowup):
+        vals.append(ref.inv((cur - 1) % ref.P))
+        cur = (cur * step) % ref.P
+    # period pattern along the domain: index i -> vals[i % ce_blowup]
+    tiled = np.asarray([vals[i % ce_blowup] for i in range(d)], dtype=object)
+    with jax.ensure_compile_time_eval():
+        return jax.block_until_ready(f128.from_ints(tiled))
+
+
+def commit_rows(evals: jnp.ndarray) -> merkle.MerkleTree:
+    """Merkle-commit a (8, W, N) evaluation matrix by rows: leaf i =
+    blake3 of row i's W canonical 16-byte elements (winterfell
+    `hash_elements` row layout)."""
+    w = evals.shape[1]
+    words = f128.to_uint32_words(evals)          # (4, W, N)
+    words = jnp.transpose(words, (2, 1, 0))      # (N, W, 4)
+    words = words.reshape(words.shape[0], w * 4)
+    leaves = b3.hash_words(words, w * 16)
+    return merkle.MerkleTree(leaves)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _pow_search(seed_words: jnp.ndarray, start: jnp.ndarray,
+                grinding_bits: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Grinding: scan a chunk of 2^18 nonces, return (found_any, nonce)."""
+    size = 1 << 18
+    nonces = start + jnp.arange(size, dtype=jnp.uint64)
+    lo = (nonces & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (nonces >> jnp.uint64(32)).astype(jnp.uint32)
+    digests = b3.merge_with_u64(seed_words, jnp.stack([lo, hi], axis=-1))
+    # leading zeros of LE-u64(digest[0:8]) from the MSB: the top bits live in
+    # word 1; nonce qualifies iff u64 < 2^(64 - g)
+    w0 = digests[:, 0].astype(jnp.uint64)
+    w1 = digests[:, 1].astype(jnp.uint64)
+    v = w0 | (w1 << jnp.uint64(32))
+    ok = v < (jnp.uint64(1) << jnp.uint64(64 - grinding_bits))
+    idx = jnp.argmax(ok)
+    return ok[idx], nonces[idx]
+
+
+def find_pow_nonce(coin: RandomCoin, grinding_bits: int) -> int:
+    """Find a nonce with >= grinding_bits leading zeros (21 bits in the
+    reference options, `src/main.rs:101`).  Batched search on device."""
+    if grinding_bits == 0:
+        return 0
+    seed_words = jnp.asarray(
+        np.frombuffer(coin.seed, dtype="<u4").copy())
+    start = 0
+    while True:
+        ok, nonce = _pow_search(seed_words, jnp.uint64(start), grinding_bits)
+        if bool(ok):
+            nonce = int(nonce)
+            assert coin.leading_zeros(nonce) >= grinding_bits
+            return nonce
+        start += 1 << 18
+
+
+# ---------------------------------------------------------------------------
+# Constraint composition
+# ---------------------------------------------------------------------------
+
+
+def group_assertions(assertions: Sequence[Assertion]) -> Dict[int, List[Tuple[int, int, int]]]:
+    """Group by step -> list of (assertion_index, col, value)."""
+    groups: Dict[int, List[Tuple[int, int, int]]] = {}
+    for j, a in enumerate(assertions):
+        groups.setdefault(a.step, []).append((j, a.col, a.value))
+    return groups
+
+
+def build_composition_columns(air: Air, trace_polys: jnp.ndarray,
+                              alphas: List[int]) -> jnp.ndarray:
+    """Evaluate the batched constraint quotients over the CE domain and
+    split the composition polynomial into columns.
+
+    trace_polys: (8, W, n) coefficients.  alphas: K + num_assertions
+    batching coefficients (python ints).  Returns (8, m, n) column coeffs.
+    """
+    n = air.trace_length
+    m = air.num_composition_columns
+    ce_blowup = air.ce_blowup
+    d = n * ce_blowup
+    log2_d = d.bit_length() - 1
+    offset = air.domain_offset
+    k = air.num_transition_constraints
+    g = air.trace_domain_generator
+
+    ce = ntt.coset_evaluate(trace_polys, offset, ce_blowup)  # (8, W, D)
+    domain = _domain_dev(log2_d, offset)
+
+    if getattr(air, "all_transitions_zero", False):
+        # inert transitions (the training AIR, SURVEY.md pin #3): skip the
+        # whole transition pipeline — the quotient is identically zero.
+        t_quot = f128.zeros((d,))
+    else:
+        nxt = jnp.roll(ce, -ce_blowup, axis=-1)
+        # transition quotients: sum_i alpha_i T_i(x) * (x-g^{n-1}) / (x^n - 1)
+        tvals = air.evaluate_transitions_jax(ce, nxt)        # (8, K, D)
+        alpha_t = f128.from_ints(np.asarray(alphas[:k], dtype=object))
+        t_comb = poly.combine(tvals, alpha_t)                # (8, D)
+        g_last = f128.from_int(pow(g, n - 1, ref.P)).reshape(8, 1)
+        t_quot = f128.mul(
+            f128.mul(t_comb, _zerofier_inv_tile(n, ce_blowup, offset)),
+            f128.sub(domain, g_last))
+
+    # boundary quotients, grouped by step (shared zerofier x - g^step)
+    groups = group_assertions(air.get_assertions())
+    steps = sorted(groups)
+    lin = jnp.stack([f128.sub(domain, f128.from_int(pow(g, s, ref.P)).reshape(8, 1))
+                     for s in steps], axis=1)                # (8, S, D)
+    lin_inv = f128.inv(lin)
+    total = t_quot
+    for si, s in enumerate(steps):
+        entries = groups[s]
+        cols = [c for (_, c, _) in entries]
+        vals = f128.from_ints(np.asarray([v for (_, _, v) in entries],
+                                         dtype=object))      # (8, J)
+        coeffs = f128.from_ints(np.asarray([alphas[k + j] for (j, _, _) in entries],
+                                           dtype=object))    # (8, J)
+        diff = f128.sub(ce[:, cols, :], vals[:, :, None])    # (8, J, D)
+        num = poly.combine(diff, coeffs)                     # (8, D)
+        total = f128.add(total, f128.mul(num, lin_inv[:, si]))
+
+    coeffs_full = ntt.coset_interpolate(total, offset)       # (8, D)
+    return coeffs_full.reshape(8, ce_blowup, n)[:, :m]
+
+
+# ---------------------------------------------------------------------------
+# DEEP composition
+# ---------------------------------------------------------------------------
+
+
+def build_deep_evals(lde: jnp.ndarray, comp_lde: jnp.ndarray,
+                     deep_coeffs: List[int], z: int, zg: int,
+                     ood_cur: List[int], ood_nxt: List[int],
+                     ood_comp: List[int], log2_big: int,
+                     offset: int) -> jnp.ndarray:
+    """DEEP(x) = [A(x) + Cc(x) - (a + c)] / (x - z) + [B(x) - b] / (x - zg)
+    where A/B/Cc are the gamma-weighted combinations of trace (cur/next
+    coefficients) and composition columns.  Returns (8, N)."""
+    w = lde.shape[1]
+    m = comp_lde.shape[1]
+    g_cur = f128.from_ints(np.asarray(deep_coeffs[:w], dtype=object))
+    g_nxt = f128.from_ints(np.asarray(deep_coeffs[w:2 * w], dtype=object))
+    g_cmp = f128.from_ints(np.asarray(deep_coeffs[2 * w:2 * w + m], dtype=object))
+
+    a_val = sum(c * v for c, v in zip(deep_coeffs[:w], ood_cur)) % ref.P
+    b_val = sum(c * v for c, v in zip(deep_coeffs[w:2 * w], ood_nxt)) % ref.P
+    c_val = sum(c * v for c, v in zip(deep_coeffs[2 * w:], ood_comp)) % ref.P
+
+    big_a = f128.add(poly.combine(lde, g_cur), poly.combine(comp_lde, g_cmp))
+    big_b = poly.combine(lde, g_nxt)
+
+    domain = _domain_dev(log2_big, offset)
+    denoms = jnp.stack([
+        f128.sub(domain, f128.from_int(z).reshape(8, 1)),
+        f128.sub(domain, f128.from_int(zg).reshape(8, 1)),
+    ], axis=1)                                               # (8, 2, N)
+    dinv = f128.inv(denoms)
+
+    term1 = f128.mul(f128.sub(big_a, f128.from_int((a_val + c_val) % ref.P).reshape(8, 1)),
+                     dinv[:, 0])
+    term2 = f128.mul(f128.sub(big_b, f128.from_int(b_val).reshape(8, 1)),
+                     dinv[:, 1])
+    return f128.add(term1, term2)
+
+
+# ---------------------------------------------------------------------------
+# Query opening
+# ---------------------------------------------------------------------------
+
+
+def open_rows(evals_np: np.ndarray, tree: merkle.MerkleTree,
+              positions: Sequence[int]) -> List[MerkleOpening]:
+    """Open Merkle leaves (= evaluation rows) at the given positions."""
+    out = []
+    paths = tree.prove_batch(list(positions))
+    for p, path in zip(positions, paths):
+        vals = [int(ref.from_limbs(evals_np[:, c, p]))
+                for c in range(evals_np.shape[1])]
+        out.append(MerkleOpening(
+            position=int(p), values=vals,
+            path=[d.astype("<u4").tobytes() for d in path]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# prove()
+# ---------------------------------------------------------------------------
+
+
+def prove(air: Air, trace) -> Proof:
+    """Generate a STARK proof for `trace` satisfying `air`.
+
+    Mirrors the phase structure of winterfell 0.12's `prove()` with the
+    transcript layout documented in `prover/channel.py`.
+    """
+    opts = air.options
+    n = air.trace_length
+    w = air.trace_width
+    assert trace.width == w and trace.length == n
+    big_n = air.lde_domain_size
+    log2_big = big_n.bit_length() - 1
+    offset = air.domain_offset
+    g = air.trace_domain_generator
+    m = air.num_composition_columns
+
+    channel = ProverChannel(air)
+
+    # 1. trace LDE + commitment
+    trace_polys = ntt.interpolate(trace.data)                       # (8, W, n)
+    lde = ntt.coset_evaluate(trace_polys, offset, opts.blowup_factor)
+    trace_tree = commit_rows(lde)
+    trace_root = trace_tree.root_bytes()
+    channel.reseed_root(trace_root)
+
+    # 2. constraint composition + commitment
+    num_constraints = air.num_transition_constraints + len(air.get_assertions())
+    alphas = channel.coin.draw_coefficients(num_constraints, opts.batching)
+    comp_cols = build_composition_columns(air, trace_polys, alphas)  # (8, m, n)
+    comp_lde = ntt.coset_evaluate(comp_cols, offset, opts.blowup_factor)
+    comp_tree = commit_rows(comp_lde)
+    comp_root = comp_tree.root_bytes()
+    channel.reseed_root(comp_root)
+
+    # 3. OOD evaluations at z (and z*g for the next-row frame)
+    z = channel.coin.draw()
+    zg = (z * g) % ref.P
+    ood_cur = [int(x) for x in f128.to_ints(
+        poly.eval_at(trace_polys, f128.from_int(z)))]
+    ood_nxt = [int(x) for x in f128.to_ints(
+        poly.eval_at(trace_polys, f128.from_int(zg)))]
+    channel.reseed_elements(ood_cur + ood_nxt)
+    ood_comp = [int(x) for x in f128.to_ints(
+        poly.eval_at(comp_cols, f128.from_int(z)))]
+    channel.reseed_elements(ood_comp)
+
+    # 4. DEEP composition polynomial over the LDE domain
+    deep_coeffs = channel.coin.draw_coefficients(2 * w + m, opts.batching)
+    deep = build_deep_evals(lde, comp_lde, deep_coeffs, z, zg,
+                            ood_cur, ood_nxt, ood_comp, log2_big, offset)
+
+    # 5. FRI commit phase
+    fri_prover = fri.FriProver(opts.fri_folding_factor,
+                               opts.fri_remainder_max_degree)
+    fri_layers, fri_remainder = fri_prover.build_layers(
+        channel, deep, offset, n)
+
+    # 6. grinding + query positions
+    pow_nonce = find_pow_nonce(channel.coin, opts.grinding_bits)
+    channel.coin.reseed_with_int(pow_nonce)
+    positions = channel.coin.draw_integers(opts.num_queries, big_n)
+
+    # 7. openings
+    lde_np = np.asarray(lde)
+    comp_np = np.asarray(comp_lde)
+    trace_openings = open_rows(lde_np, trace_tree, positions)
+    comp_openings = open_rows(comp_np, comp_tree, positions)
+    fri_openings = fri_prover.open_queries(fri_layers, positions)
+
+    return Proof(
+        trace_width=w,
+        trace_length=n,
+        options=opts,
+        trace_root=trace_root,
+        comp_root=comp_root,
+        ood_trace_cur=ood_cur,
+        ood_trace_next=ood_nxt,
+        ood_comp=ood_comp,
+        fri_roots=[layer.tree.root_bytes() for layer in fri_layers],
+        fri_remainder=fri_remainder,
+        pow_nonce=pow_nonce,
+        trace_openings=trace_openings,
+        comp_openings=comp_openings,
+        fri_openings=fri_openings,
+    )
