@@ -1,0 +1,83 @@
+"""Headline benchmark — prints ONE JSON line on stdout.
+
+Metric: wall seconds for the full `--step proof` pipeline at bs=1 with 8
+devices (8 training STARKs + 1 aggregation STARK, all verified), measured
+warm (run 2), on whatever backend JAX picks (the real TPU chip under the
+driver).  Baseline: the reference's own ETA table records ~7 s/run for the
+Rust/Winterfell binary at bs=1 on its (unspecified) CPU
+(`verification/time_memory_analytics/batch_automation.py:38`, BASELINE.md).
+vs_baseline = baseline_seconds / our_seconds (>1 means faster than the
+reference).
+
+Progress goes to stderr; stdout carries exactly the one JSON line.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+BASELINE_SECONDS = 7.0  # Rust/Winterfell bs=1 full run (batch_automation.py:38)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_pipeline(devices, options, seed):
+    import numpy as np
+
+    from zk_stark_project_tpu.cli import (SAMPLE_SIZE, _build_aggregator,
+                                          _train_one_device)
+    from zk_stark_project_tpu.prover import prove
+    from zk_stark_project_tpu.verifier import verify
+
+    rng = np.random.default_rng(seed)
+    client_reps = []
+    for i, dev in enumerate(devices):
+        rep, _ = _train_one_device(dev, 1, options, rng, True, False, i)
+        if rep is not None:
+            client_reps.append(rep)
+    agg = _build_aggregator(client_reps, options, rng)
+    air = agg.air()
+    proof = prove(air, agg.build_trace())
+    verify(air, proof)
+    return proof.size_bytes
+
+
+def main():
+    t_start = time.time()
+    from zk_stark_project_tpu.prover.options import REFERENCE_OPTIONS
+    from zk_stark_project_tpu.utils.data import (create_synthetic_device_data,
+                                                 discover_devices)
+    import numpy as np
+
+    with tempfile.TemporaryDirectory() as d:
+        create_synthetic_device_data(d, num_devices=8, rows=60, seed=11)
+        devices = discover_devices(d, rng=np.random.default_rng(5))
+
+    options = REFERENCE_OPTIONS
+    log(f"warmup run (compiles)... options={options}")
+    t0 = time.time()
+    run_pipeline(devices, options, seed=1)
+    log(f"warmup: {time.time() - t0:.1f}s")
+
+    log("timed run...")
+    t0 = time.time()
+    size = run_pipeline(devices, options, seed=2)
+    elapsed = time.time() - t0
+    log(f"timed: {elapsed:.1f}s, total bench time "
+        f"{time.time() - t_start:.1f}s, agg proof {size} bytes")
+
+    print(json.dumps({
+        "metric": "stark_bs1_full_pipeline_seconds",
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / elapsed, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

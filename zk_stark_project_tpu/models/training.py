@@ -218,10 +218,11 @@ class TrainingUpdateProver:
         """`src/training/prover.rs:235-267`."""
         trace = self.build_trace()
         half = trace.width // 2
-        data = np.asarray(trace.data)
-        initial_masked = [int(ref.from_limbs(data[:, c, 0]))
+        # pull only the two boundary rows (single small transfer)
+        rows = np.asarray(trace.data[:, :half, [0, trace.length - 1]])
+        initial_masked = [int(ref.from_limbs(rows[:, c, 0]))
                           for c in range(half)]
-        final_masked = [int(ref.from_limbs(data[:, c, trace.length - 1]))
+        final_masked = [int(ref.from_limbs(rows[:, c, 1]))
                         for c in range(half)]
         return TrainingUpdateInputs(
             initial_masked=initial_masked, final_masked=final_masked,

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,16 +60,24 @@ class MerkleTree:
         return path
 
     def prove_batch(self, indices: Sequence[int]) -> List[List[np.ndarray]]:
-        # Host extraction; indices are few (num queries ~ 40).
-        levels_np = [np.asarray(l) for l in self.levels[:-1]]
-        out = []
-        for index in indices:
-            path, idx = [], index
-            for level in levels_np:
-                path.append(level[idx ^ 1])
-                idx >>= 1
-            out.append(path)
-        return out
+        """Authentication paths for many leaves.
+
+        Siblings are gathered ON DEVICE (one jnp.take per level) and pulled
+        in a single host transfer — device->host roundtrips are the
+        bottleneck on a tunneled TPU (each costs ~25ms; a per-node pull
+        would be levels x queries of them)."""
+        indices = list(indices)
+        if not indices:
+            return []
+        gathered = []
+        idx = np.asarray(indices, dtype=np.int32)
+        for level in self.levels[:-1]:
+            sib = jnp.take(level, jnp.asarray(idx ^ 1), axis=0)  # (P, 8)
+            gathered.append(sib)
+            idx >>= 1
+        all_sibs = np.asarray(jnp.stack(gathered, axis=0))  # (L, P, 8)
+        return [[all_sibs[l, q] for l in range(all_sibs.shape[0])]
+                for q in range(len(indices))]
 
 
 def verify_path(leaf_digest: np.ndarray, index: int,

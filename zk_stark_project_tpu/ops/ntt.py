@@ -74,13 +74,15 @@ def _twiddles(logn: int, inverse: bool) -> jnp.ndarray:
             cur *= 2
         if powers.shape[1] > n // 2:
             powers = powers[:, : n // 2]
-        return jax.block_until_ready(powers)
+        # cache HOST numpy: a cached device array would be pinned to the
+        # mesh/devices of whatever trace first built it and poison reuse
+        # under a different mesh (shard_map Manual-mesh aval mismatch)
+        return np.asarray(jax.block_until_ready(powers))
 
 
 @functools.lru_cache(maxsize=None)
 def _n_inv_limbs(logn: int) -> jnp.ndarray:
-    with jax.ensure_compile_time_eval():
-        return jax.block_until_ready(f128.from_int(ref.inv(1 << logn)))
+    return np.asarray(ref.to_limbs(ref.inv(1 << logn)), dtype=np.uint32)
 
 
 def _apply_stages(a: jnp.ndarray, logn: int, inverse: bool) -> jnp.ndarray:
@@ -138,7 +140,7 @@ def _offset_powers(log2_n: int, offset: int, inverse: bool) -> jnp.ndarray:
             scale = f128.mul(powers[:, cur - 1:cur], step)
             powers = jnp.concatenate([powers, f128.mul(powers, scale)], axis=1)
             cur *= 2
-        return jax.block_until_ready(powers[:, :n])
+        return np.asarray(jax.block_until_ready(powers[:, :n]))
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))

@@ -98,7 +98,7 @@ def commit_layer(evals: jnp.ndarray, factor: int) -> merkle.MerkleTree:
 @dataclasses.dataclass
 class FriLayer:
     tree: merkle.MerkleTree
-    evals_np: np.ndarray     # (8, N) uint32 limbs, kept for query opening
+    evals: jnp.ndarray       # (8, N) uint32 limbs on device, for opening
     domain_offset: int
     log2_n: int
 
@@ -130,7 +130,7 @@ class FriProver:
             channel.reseed_root(tree.root_bytes())
             beta_int = channel.coin.draw()
             beta = f128.from_int(beta_int)
-            layers.append(FriLayer(tree=tree, evals_np=np.asarray(cur),
+            layers.append(FriLayer(tree=tree, evals=cur,
                                    domain_offset=offset, log2_n=log2_n))
             cur = fold_evals(cur, beta, offset, log2_n, self.factor)
             offset = pow(offset, self.factor, ref.P)
@@ -159,15 +159,21 @@ class FriProver:
             n = 1 << layer.log2_n
             m = n // self.factor
             folded = fold_positions(pos, m)
+            # gather every opened coset's F values on device, one transfer
+            flat_idx = np.asarray(
+                [k * m + c for c in folded for k in range(self.factor)],
+                dtype=np.int32)
+            vals_np = np.asarray(
+                jnp.take(layer.evals, jnp.asarray(flat_idx), axis=1))
+            paths = layer.tree.prove_batch(folded)
             openings = []
-            limbs = layer.evals_np  # (8, n)
-            for c in folded:
-                idx = [k * m + c for k in range(self.factor)]
-                vals = [int(ref.from_limbs(limbs[:, i])) for i in idx]
-                path = [np.asarray(d).astype("<u4").tobytes()
-                        for d in layer.tree.prove(c)]
-                openings.append(MerkleOpening(position=c, values=vals,
-                                              path=path))
+            for ci, (c, path) in enumerate(zip(folded, paths)):
+                vals = [int(ref.from_limbs(
+                    vals_np[:, ci * self.factor + k]))
+                    for k in range(self.factor)]
+                openings.append(MerkleOpening(
+                    position=c, values=vals,
+                    path=[d.astype("<u4").tobytes() for d in path]))
             out.append(openings)
             pos = folded
         return out

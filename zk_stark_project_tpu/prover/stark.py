@@ -60,9 +60,9 @@ def _domain_dev(log2_size: int, offset: int) -> jnp.ndarray:
     must never capture tracers)."""
     w = ref.root_of_unity(log2_size)
     with jax.ensure_compile_time_eval():
-        pows = ntt._offset_powers(log2_size, w, False)
-        return jax.block_until_ready(
-            f128.mul(pows, f128.from_int(offset).reshape(8, 1)))
+        pows = jnp.asarray(ntt._offset_powers(log2_size, w, False))
+        return np.asarray(jax.block_until_ready(
+            f128.mul(pows, f128.from_int(offset).reshape(8, 1))))
 
 
 @functools.lru_cache(maxsize=None)
@@ -81,8 +81,7 @@ def _zerofier_inv_tile(trace_length: int, ce_blowup: int,
         cur = (cur * step) % ref.P
     # period pattern along the domain: index i -> vals[i % ce_blowup]
     tiled = np.asarray([vals[i % ce_blowup] for i in range(d)], dtype=object)
-    with jax.ensure_compile_time_eval():
-        return jax.block_until_ready(f128.from_ints(tiled))
+    return np.asarray(f128.from_ints(tiled))
 
 
 def commit_rows(evals: jnp.ndarray) -> merkle.MerkleTree:
@@ -248,14 +247,18 @@ def build_deep_evals(lde: jnp.ndarray, comp_lde: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def open_rows(evals_np: np.ndarray, tree: merkle.MerkleTree,
+def open_rows(evals: jnp.ndarray, tree: merkle.MerkleTree,
               positions: Sequence[int]) -> List[MerkleOpening]:
-    """Open Merkle leaves (= evaluation rows) at the given positions."""
+    """Open Merkle leaves (= evaluation rows) at the given positions.
+    Row values are gathered on device and pulled in one transfer."""
+    positions = list(positions)
+    pos = jnp.asarray(np.asarray(positions, dtype=np.int32))
+    rows = np.asarray(jnp.take(evals, pos, axis=2))  # (8, W, P)
+    paths = tree.prove_batch(positions)
     out = []
-    paths = tree.prove_batch(list(positions))
-    for p, path in zip(positions, paths):
-        vals = [int(ref.from_limbs(evals_np[:, c, p]))
-                for c in range(evals_np.shape[1])]
+    for q, (p, path) in enumerate(zip(positions, paths)):
+        vals = [int(ref.from_limbs(rows[:, c, q]))
+                for c in range(rows.shape[1])]
         out.append(MerkleOpening(
             position=int(p), values=vals,
             path=[d.astype("<u4").tobytes() for d in path]))
@@ -329,11 +332,9 @@ def prove(air: Air, trace) -> Proof:
     channel.coin.reseed_with_int(pow_nonce)
     positions = channel.coin.draw_integers(opts.num_queries, big_n)
 
-    # 7. openings
-    lde_np = np.asarray(lde)
-    comp_np = np.asarray(comp_lde)
-    trace_openings = open_rows(lde_np, trace_tree, positions)
-    comp_openings = open_rows(comp_np, comp_tree, positions)
+    # 7. openings (device-side gathers; no full-LDE host pull)
+    trace_openings = open_rows(lde, trace_tree, positions)
+    comp_openings = open_rows(comp_lde, comp_tree, positions)
     fri_openings = fri_prover.open_queries(fri_layers, positions)
 
     return Proof(
