@@ -109,13 +109,13 @@ def test_simulation_rounds(device_dirs, tmp_path):
 
 def test_simulation_with_proof(device_dirs, tmp_path):
     os.chdir(tmp_path)
-    from zk_stark_project_tpu.prover import test_options
+    from zk_stark_project_tpu.prover import fast_options
     cfg = FLConfig(num_participants=2, rounds=1, batch_size=5,
                    samples_per_publish=20, precision=10**4,
                    learning_rate=10, data_wait_timeout=2.0)
     sim = Simulation(cfg, device_dirs[:2], test_data_path=device_dirs[0],
                      seed=2)
     summaries = sim.run_rounds_sync(rounds=1, prove_updates=True,
-                                    proof_options=test_options())
+                                    proof_options=fast_options())
     proof = summaries[0]["proof"]
     assert proof.get("proof_size", 0) > 0

@@ -75,12 +75,12 @@ def test_debug_tooling(np_rng, tmp_path):
     from zk_stark_project_tpu.models.training import TrainingUpdateProver
     from zk_stark_project_tpu.models import ml_math
     from zk_stark_project_tpu.ops.signed import f64_to_felt
-    from zk_stark_project_tpu.prover import debug, test_options
+    from zk_stark_project_tpu.prover import debug, fast_options
 
     w, ws, b, bs = ml_math.generate_initial_model(FE, AC, 1.0, np_rng)
     x = [[f64_to_felt(1.0)] * FE]
     y = [ml_math.label_to_one_hot(2.0, AC, 1e6)]
-    p = TrainingUpdateProver(test_options(), w, b, ws, bs, x, [[0] * FE],
+    p = TrainingUpdateProver(fast_options(), w, b, ws, bs, x, [[0] * FE],
                              y, f64_to_felt(1e-4), f64_to_felt(1e6), 1,
                              rng=np_rng)
     trace = p.build_trace()

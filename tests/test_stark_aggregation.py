@@ -14,13 +14,13 @@ from zk_stark_project_tpu.models import aggregation as agg
 from zk_stark_project_tpu.models.ml_math import AC, C, FE
 from zk_stark_project_tpu.ops import f128_ref as ref
 from zk_stark_project_tpu.ops import mimc
-from zk_stark_project_tpu.prover import Proof, prove, test_options
+from zk_stark_project_tpu.prover import Proof, prove, fast_options
 from zk_stark_project_tpu.prover.options import REFERENCE_OPTIONS
 from zk_stark_project_tpu.verifier import VerificationError, verify
 
 
 def make_prover(np_rng, num_clients=C, opts=None):
-    opts = opts or test_options()
+    opts = opts or fast_options()
     gw = [[ref.mul(i + 1, j + 2) % 10**9 for j in range(FE)] for i in range(AC)]
     gb = [int(np_rng.integers(0, 10**9)) for _ in range(AC)]
     local_w = [[[int(np_rng.integers(0, 10**9)) for _ in range(FE)]

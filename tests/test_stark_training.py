@@ -11,7 +11,7 @@ from zk_stark_project_tpu.models import ml_math, training
 from zk_stark_project_tpu.models.ml_math import AC, FE
 from zk_stark_project_tpu.ops import f128_ref as ref
 from zk_stark_project_tpu.ops.signed import f64_to_felt
-from zk_stark_project_tpu.prover import Proof, prove, test_options
+from zk_stark_project_tpu.prover import Proof, prove, fast_options
 from zk_stark_project_tpu.verifier import VerificationError, verify
 
 LR = f64_to_felt(0.0001)
@@ -29,7 +29,7 @@ def make_prover(np_rng, batch_size=1):
                                         AC, 1e6)
                for _ in range(batch_size)]
     return training.TrainingUpdateProver(
-        test_options(), w, b, ws, bs, x_batch, x_sign, y_batch,
+        fast_options(), w, b, ws, bs, x_batch, x_sign, y_batch,
         LR, PR, batch_size, rng=np_rng)
 
 

@@ -3,8 +3,9 @@
 TPU-native replacement for winterfell's `DefaultRandomCoin<Blake3_256>`
 (`src/training/prover.rs:227`, `src/aggregation/prover.rs:200`).  The
 transcript is inherently sequential and tiny (a few hundred 64-byte hashes
-per proof), so it runs on the host with the pure-python Blake3
-(`ops/blake3_ref.py`) — the same function the batched TPU kernel
+per proof), so it runs on the host with the native C++ Blake3 when the
+toolchain can build it (`zk_stark_project_tpu/native`), else the pure-python
+oracle (`ops/blake3_ref.py`) — the same function the batched TPU kernel
 (`ops/blake3.py`) implements, so digests produced on device (Merkle roots)
 reseed the coin directly.
 
@@ -30,8 +31,8 @@ from typing import List, Sequence
 
 import numpy as np
 
-from ..ops import blake3_ref as b3
 from ..ops import f128_ref as ref
+from ..utils import fasthash as b3
 
 
 def felt_to_bytes(x: int) -> bytes:

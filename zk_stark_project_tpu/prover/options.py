@@ -50,7 +50,7 @@ class ProofOptions:
 REFERENCE_OPTIONS = ProofOptions()
 
 
-def test_options(num_queries: int = 12, blowup: int = 8,
+def fast_options(num_queries: int = 12, blowup: int = 8,
                  grinding: int = 0) -> ProofOptions:
     """Lighter options for fast tests (fewer queries, no grinding)."""
     return ProofOptions(num_queries=num_queries, blowup_factor=blowup,

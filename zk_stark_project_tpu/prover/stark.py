@@ -96,23 +96,34 @@ def commit_rows(evals: jnp.ndarray) -> merkle.MerkleTree:
     return merkle.MerkleTree(leaves)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _pow_search(seed_words: jnp.ndarray, start: jnp.ndarray,
+_POW_CHUNK_LOG2 = 18
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _pow_search(seed_words: jnp.ndarray, base_lo: jnp.ndarray,
+                base_hi: jnp.ndarray,
                 grinding_bits: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Grinding: scan a chunk of 2^18 nonces, return (found_any, nonce)."""
-    size = 1 << 18
-    nonces = start + jnp.arange(size, dtype=jnp.uint64)
-    lo = (nonces & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    hi = (nonces >> jnp.uint64(32)).astype(jnp.uint32)
+    """Grinding: scan a chunk of 2^18 nonces, return (found_any, offset).
+
+    Pure uint32 (TPUs/JAX-default have no u64): the chunk base is a multiple
+    of the chunk size, so lo = base_lo + offset never carries into hi.
+    """
+    size = 1 << _POW_CHUNK_LOG2
+    offs = jnp.arange(size, dtype=jnp.uint32)
+    lo = base_lo + offs
+    hi = jnp.broadcast_to(base_hi, lo.shape)
     digests = b3.merge_with_u64(seed_words, jnp.stack([lo, hi], axis=-1))
-    # leading zeros of LE-u64(digest[0:8]) from the MSB: the top bits live in
-    # word 1; nonce qualifies iff u64 < 2^(64 - g)
-    w0 = digests[:, 0].astype(jnp.uint64)
-    w1 = digests[:, 1].astype(jnp.uint64)
-    v = w0 | (w1 << jnp.uint64(32))
-    ok = v < (jnp.uint64(1) << jnp.uint64(64 - grinding_bits))
+    # nonce qualifies iff LE-u64(digest[0:8]) < 2^(64-g); the u64's high half
+    # is word 1, so for g <= 32 that is w1 < 2^(32-g), else w1 == 0 and
+    # w0 < 2^(64-g).
+    w0, w1 = digests[:, 0], digests[:, 1]
+    if grinding_bits <= 32:
+        ok = w1 < jnp.uint32(1 << (32 - grinding_bits)) if grinding_bits \
+            else jnp.ones_like(w1, dtype=bool)
+    else:
+        ok = (w1 == 0) & (w0 < jnp.uint32(1 << (64 - grinding_bits)))
     idx = jnp.argmax(ok)
-    return ok[idx], nonces[idx]
+    return ok[idx], offs[idx]
 
 
 def find_pow_nonce(coin: RandomCoin, grinding_bits: int) -> int:
@@ -124,12 +135,16 @@ def find_pow_nonce(coin: RandomCoin, grinding_bits: int) -> int:
         np.frombuffer(coin.seed, dtype="<u4").copy())
     start = 0
     while True:
-        ok, nonce = _pow_search(seed_words, jnp.uint64(start), grinding_bits)
+        ok, off = _pow_search(
+            seed_words,
+            jnp.uint32(start & 0xFFFFFFFF),
+            jnp.uint32(start >> 32),
+            grinding_bits)
         if bool(ok):
-            nonce = int(nonce)
+            nonce = start + int(off)
             assert coin.leading_zeros(nonce) >= grinding_bits
             return nonce
-        start += 1 << 18
+        start += 1 << _POW_CHUNK_LOG2
 
 
 # ---------------------------------------------------------------------------

@@ -15,8 +15,8 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence
 
-from ..ops import blake3_ref as b3
 from ..ops import f128_ref as ref
+from ..utils import fasthash
 from ..prover import fri
 from ..prover.air import Air
 from ..prover.channel import RandomCoin, context_bytes, hash_elements
@@ -35,12 +35,7 @@ def _check(cond: bool, msg: str) -> None:
 
 def verify_merkle_path(leaf_digest: bytes, index: int,
                        path: Sequence[bytes], root: bytes) -> bool:
-    cur = leaf_digest
-    idx = index
-    for sib in path:
-        cur = b3.merge(sib, cur) if idx & 1 else b3.merge(cur, sib)
-        idx >>= 1
-    return cur == root
+    return fasthash.merkle_verify(leaf_digest, index, path, root)
 
 
 def _verify_row_openings(openings: List[MerkleOpening], positions: List[int],
