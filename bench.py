@@ -29,17 +29,13 @@ def log(msg):
 def run_pipeline(devices, options, seed):
     import numpy as np
 
-    from zk_stark_project_tpu.cli import (SAMPLE_SIZE, _build_aggregator,
-                                          _train_one_device)
+    from zk_stark_project_tpu.cli import _build_aggregator, _train_all_devices
     from zk_stark_project_tpu.prover import prove
     from zk_stark_project_tpu.verifier import verify
 
     rng = np.random.default_rng(seed)
-    client_reps = []
-    for i, dev in enumerate(devices):
-        rep, _ = _train_one_device(dev, 1, options, rng, True, False, i)
-        if rep is not None:
-            client_reps.append(rep)
+    client_reps, _ = _train_all_devices(devices, 1, options, rng,
+                                        do_prove=True, verbose=False)
     agg = _build_aggregator(client_reps, options, rng)
     air = agg.air()
     proof = prove(air, agg.build_trace())

@@ -13,3 +13,30 @@ Reference parity citations use `file:line` into the reference repo
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache, process-wide.
+
+    The limb-arithmetic graphs (f128 mul chains, blake3 rounds) are cheap to
+    run but expensive to compile; without a persistent cache every process
+    pays the full compile bill again (the headline bench lost ~10 minutes of
+    warmup to this).  Opt out with ZKSTARK_NO_COMPILE_CACHE=1.
+    """
+    import os
+
+    if os.environ.get("ZKSTARK_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("ZKSTARK_COMPILE_CACHE",
+                                         "/tmp/zkstark_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    except Exception:  # noqa: BLE001 - cache is an optimization only
+        pass
+
+
+_enable_compile_cache()

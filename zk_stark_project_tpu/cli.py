@@ -39,20 +39,9 @@ def _train_one_device(device: EdgeDevice, bs: int, options: ProofOptions,
                       verbose: bool, index: int):
     """One device's training statement: sample -> encode -> trace [-> prove
     -> verify].  Returns (client_rep, proof_size)."""
-    host_feats, host_labs = device.next_batch(SAMPLE_SIZE)
-    if len(host_feats) < bs:
-        if verbose:
-            print(f"Warning: Device {index + 1} has fewer samples than "
-                  f"ZK batch size", file=sys.stderr)
+    tp = _make_training_prover(device, bs, options, rng, verbose, index)
+    if tp is None:
         return None, 0
-    zk_feats = [[f64_to_felt(v) for v in row] for row in host_feats[:bs]]
-    zk_labs = [ml_math.label_to_one_hot(l, AC, 1e6) for l in host_labs[:bs]]
-    zk_feats_sign = [[0] * FE for _ in range(bs)]
-    w, ws, b, bsn = ml_math.generate_initial_model(FE, AC, 1.0, rng)
-    lr = f64_to_felt(0.0001)
-    pr = f64_to_felt(1e6)
-    tp = TrainingUpdateProver(options, w, b, ws, bsn, zk_feats,
-                              zk_feats_sign, zk_labs, lr, pr, bs, rng=rng)
     t0 = time.time()
     trace = tp.build_trace()
     proof_size = 0
@@ -69,6 +58,63 @@ def _train_one_device(device: EdgeDevice, bs: int, options: ProofOptions,
     # client rep = masked cell (0, last) (`src/main.rs:260`)
     client_rep = trace.get(0, trace.length - 1)
     return client_rep, proof_size
+
+
+def _make_training_prover(device: EdgeDevice, bs: int, options: ProofOptions,
+                          rng: np.random.Generator, verbose: bool,
+                          index: int) -> Optional[TrainingUpdateProver]:
+    """Sample + encode one device's batch and build its training prover
+    (draws masks — call in device order to keep the RNG stream stable)."""
+    host_feats, host_labs = device.next_batch(SAMPLE_SIZE)
+    if len(host_feats) < bs:
+        if verbose:
+            print(f"Warning: Device {index + 1} has fewer samples than "
+                  f"ZK batch size", file=sys.stderr)
+        return None
+    zk_feats = [[f64_to_felt(v) for v in row] for row in host_feats[:bs]]
+    zk_labs = [ml_math.label_to_one_hot(l, AC, 1e6) for l in host_labs[:bs]]
+    zk_feats_sign = [[0] * FE for _ in range(bs)]
+    w, ws, b, bsn = ml_math.generate_initial_model(FE, AC, 1.0, rng)
+    lr = f64_to_felt(0.0001)
+    pr = f64_to_felt(1e6)
+    return TrainingUpdateProver(options, w, b, ws, bsn, zk_feats,
+                                zk_feats_sign, zk_labs, lr, pr, bs, rng=rng)
+
+
+def _train_all_devices(devices: List[EdgeDevice], bs: int,
+                       options: ProofOptions, rng: np.random.Generator,
+                       do_prove: bool, verbose: bool):
+    """All devices' training statements proved BATCHED (one set of device
+    phases for the whole fleet, `prover/batch.py`).  Per-proof transcripts
+    are bit-identical to the sequential path.  Returns (client_reps,
+    total_proof_size)."""
+    from .prover.batch import prove_many
+
+    provers, traces, indices = [], [], []
+    for i, dev in enumerate(devices):
+        tp = _make_training_prover(dev, bs, options, rng, verbose, i)
+        if tp is None:
+            continue
+        provers.append(tp)
+        traces.append(tp.build_trace())
+        indices.append(i)
+
+    client_reps = [tr.get(0, tr.length - 1) for tr in traces]
+    total_size = 0
+    if do_prove and provers:
+        t0 = time.time()
+        airs = [tp.air() for tp in provers]
+        proofs = prove_many(airs, traces)
+        gen_ms = int((time.time() - t0) * 1000)
+        for i, air, proof in zip(indices, airs, proofs):
+            verify(air, proof)
+            total_size += proof.size_bytes
+            if verbose:
+                print(f"Device {i + 1:>2}: ZK proof for {bs} samples: "
+                      f"gen = {gen_ms // len(provers):>4}ms (batched), "
+                      f"size = {proof.size_bytes} bytes")
+                print(f"Training proof size: {proof.size_bytes} bytes")
+    return client_reps, total_size
 
 
 def _reps_to_locals(client_reps: List[int]):
@@ -136,17 +182,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     step_start = time.time()
     do_prove_training = args.step in ("setup", "proof")
 
-    client_reps: List[int] = []
-    total_training_proof_size = 0
     if args.verbose and do_prove_training:
         print("--- Client Training Updates ---")
-    for i, dev in enumerate(devices):
-        rep, psize = _train_one_device(dev, args.bs, options, rng,
-                                       do_prove_training, args.verbose, i)
-        if rep is None:
-            continue
-        client_reps.append(rep)
-        total_training_proof_size += psize
+    client_reps, total_training_proof_size = _train_all_devices(
+        devices, args.bs, options, rng, do_prove_training, args.verbose)
 
     agg = _build_aggregator(client_reps, options, rng)
 

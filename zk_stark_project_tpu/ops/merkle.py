@@ -70,7 +70,8 @@ class MerkleTree:
         if not indices:
             return []
         gathered = []
-        idx = np.asarray(indices, dtype=np.int32)
+        # copy: `idx >>= 1` below must never alias a caller-owned array
+        idx = np.array(indices, dtype=np.int32, copy=True)
         for level in self.levels[:-1]:
             sib = jnp.take(level, jnp.asarray(idx ^ 1), axis=0)  # (P, 8)
             gathered.append(sib)

@@ -150,30 +150,37 @@ class FriProver:
                      positions: Sequence[int]):
         """For each layer, open the (deduped) coset leaves the given query
         positions touch.  Returns per-layer lists of MerkleOpening with
-        position = coset index and values = the F coset values."""
+        position = coset index and values = the F coset values.
+
+        Device gathers are PADDED to len(positions) entries: the deduped
+        coset count varies per proof, and data-dependent gather shapes would
+        recompile the XLA gather executable on every prove() (measured as a
+        multi-second stall in `analytics/profile_prove.py`)."""
         from .proof import MerkleOpening
 
         out = []
         pos = list(positions)
+        max_open = len(pos)  # static across layers: dedup only shrinks
         for layer in layers:
             n = 1 << layer.log2_n
             m = n // self.factor
             folded = fold_positions(pos, m)
+            padded = folded + [folded[0]] * (max_open - len(folded))
             # gather every opened coset's F values on device, one transfer
             flat_idx = np.asarray(
-                [k * m + c for c in folded for k in range(self.factor)],
+                [k * m + c for c in padded for k in range(self.factor)],
                 dtype=np.int32)
             vals_np = np.asarray(
                 jnp.take(layer.evals, jnp.asarray(flat_idx), axis=1))
-            paths = layer.tree.prove_batch(folded)
+            ints = f128.to_ints(
+                vals_np.reshape(8, max_open, self.factor))  # (max, F)
+            paths = layer.tree.prove_batch(padded)
             openings = []
-            for ci, (c, path) in enumerate(zip(folded, paths)):
-                vals = [int(ref.from_limbs(
-                    vals_np[:, ci * self.factor + k]))
-                    for k in range(self.factor)]
+            for ci, c in enumerate(folded):
+                vals = [int(ints[ci, k]) for k in range(self.factor)]
                 openings.append(MerkleOpening(
                     position=c, values=vals,
-                    path=[d.astype("<u4").tobytes() for d in path]))
+                    path=[d.astype("<u4").tobytes() for d in paths[ci]]))
             out.append(openings)
             pos = folded
         return out

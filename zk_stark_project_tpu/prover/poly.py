@@ -90,3 +90,72 @@ def combine(values: jnp.ndarray, coeffs: jnp.ndarray) -> jnp.ndarray:
     prod = f128.mul(values,
                     coeffs.reshape((8, k) + (1,) * (values.ndim - 2)))
     return tree_sum_axis1(prod)
+
+
+# ---------------------------------------------------------------------------
+# Batched (multi-proof) variants: a client axis C sits between the limb axis
+# and the data axes; every op broadcasts over it (prover/batch.py).
+# ---------------------------------------------------------------------------
+
+
+def tree_sum_axis(values: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Field sum along `axis` (any K — zero-padded to a power of two),
+    log-depth pairwise adds.  axis must be positive and not 0 (the limb
+    axis)."""
+    assert axis > 0
+    k = values.shape[axis]
+    kp = 1 << max(0, (k - 1)).bit_length()
+    if kp != k:
+        pad_shape = list(values.shape)
+        pad_shape[axis] = kp - k
+        values = jnp.concatenate(
+            [values, jnp.zeros(pad_shape, dtype=jnp.uint32)], axis=axis)
+    while kp > 1:
+        shape = (values.shape[:axis] + (kp // 2, 2) + values.shape[axis + 1:])
+        v = values.reshape(shape)
+        idx_a = (slice(None),) * axis + (slice(None), 0)
+        idx_b = (slice(None),) * axis + (slice(None), 1)
+        values = f128.add(v[idx_a], v[idx_b])
+        kp //= 2
+    return jnp.squeeze(values, axis=axis)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def combine_axis(values: jnp.ndarray, coeffs: jnp.ndarray,
+                 axis: int) -> jnp.ndarray:
+    """Random linear combination along `axis`: values (8, ..., K, ...) with
+    K at `axis`; coeffs (8, ..., K) matching values' shape up to `axis`.
+    Returns values with `axis` summed out."""
+    k = values.shape[axis]
+    assert coeffs.shape[-1] == k and coeffs.ndim == axis + 1
+    prod = f128.mul(values,
+                    coeffs.reshape(coeffs.shape +
+                                   (1,) * (values.ndim - coeffs.ndim)))
+    return tree_sum_axis(prod, axis)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def powers_of_b(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Batched power table: x (8,) + B -> (8,) + B + (n,) of x^0..x^(n-1).
+
+    Same doubling construction as `powers_of`, elementwise over the batch.
+    """
+    assert n & (n - 1) == 0
+    powers = f128.ones(x.shape[1:] + (1,))
+    step = x[..., None]
+    cur = 1
+    while cur < n:
+        powers = jnp.concatenate([powers, f128.mul(powers, step)], axis=-1)
+        step = f128.mul(step, step)
+        cur *= 2
+    return powers
+
+
+@jax.jit
+def eval_at_b(coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Batched single-point evaluation: coeffs (8, C, ..., n); x (8, C).
+    Returns (8, C, ...)."""
+    n = coeffs.shape[-1]
+    pows = powers_of_b(x, n)  # (8, C, n)
+    shape = pows.shape[:2] + (1,) * (coeffs.ndim - 3) + (n,)
+    return tree_sum(f128.mul(coeffs, pows.reshape(shape)))

@@ -96,19 +96,25 @@ def commit_rows(evals: jnp.ndarray) -> merkle.MerkleTree:
     return merkle.MerkleTree(leaves)
 
 
-_POW_CHUNK_LOG2 = 18
+def _pow_chunk_log2() -> int:
+    """Grinding nonces scanned per device dispatch.  On TPU a 2^21 chunk
+    (the expected search space at 21 grinding bits) is one cheap dispatch,
+    so the search usually finishes in a single device roundtrip; XLA-CPU
+    compiles are per-element slow, so tests use a smaller chunk."""
+    return 21 if jax.default_backend() == "tpu" else 18
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
+@functools.partial(jax.jit, static_argnums=(3, 4))
 def _pow_search(seed_words: jnp.ndarray, base_lo: jnp.ndarray,
-                base_hi: jnp.ndarray,
-                grinding_bits: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Grinding: scan a chunk of 2^18 nonces, return (found_any, offset).
+                base_hi: jnp.ndarray, grinding_bits: int,
+                chunk_log2: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Grinding: scan a chunk of 2^chunk_log2 nonces, return
+    (found_any, offset).
 
     Pure uint32 (TPUs/JAX-default have no u64): the chunk base is a multiple
     of the chunk size, so lo = base_lo + offset never carries into hi.
     """
-    size = 1 << _POW_CHUNK_LOG2
+    size = 1 << chunk_log2
     offs = jnp.arange(size, dtype=jnp.uint32)
     lo = base_lo + offs
     hi = jnp.broadcast_to(base_hi, lo.shape)
@@ -134,17 +140,18 @@ def find_pow_nonce(coin: RandomCoin, grinding_bits: int) -> int:
     seed_words = jnp.asarray(
         np.frombuffer(coin.seed, dtype="<u4").copy())
     start = 0
+    chunk_log2 = _pow_chunk_log2()
     while True:
         ok, off = _pow_search(
             seed_words,
             jnp.uint32(start & 0xFFFFFFFF),
             jnp.uint32(start >> 32),
-            grinding_bits)
+            grinding_bits, chunk_log2)
         if bool(ok):
             nonce = start + int(off)
             assert coin.leading_zeros(nonce) >= grinding_bits
             return nonce
-        start += 1 << _POW_CHUNK_LOG2
+        start += 1 << chunk_log2
 
 
 # ---------------------------------------------------------------------------
@@ -217,6 +224,15 @@ def build_composition_columns(air: Air, trace_polys: jnp.ndarray,
     return coeffs_full.reshape(8, ce_blowup, n)[:, :m]
 
 
+@jax.jit
+def _ood_eval3(trace_polys: jnp.ndarray, comp_cols: jnp.ndarray,
+               z: jnp.ndarray, zg: jnp.ndarray):
+    """Trace polys at z and z*g plus composition columns at z, fused."""
+    return (poly.eval_at(trace_polys, z),
+            poly.eval_at(trace_polys, zg),
+            poly.eval_at(comp_cols, z))
+
+
 # ---------------------------------------------------------------------------
 # DEEP composition
 # ---------------------------------------------------------------------------
@@ -269,11 +285,11 @@ def open_rows(evals: jnp.ndarray, tree: merkle.MerkleTree,
     positions = list(positions)
     pos = jnp.asarray(np.asarray(positions, dtype=np.int32))
     rows = np.asarray(jnp.take(evals, pos, axis=2))  # (8, W, P)
+    ints = f128.to_ints(rows)                        # (W, P) python ints
     paths = tree.prove_batch(positions)
     out = []
     for q, (p, path) in enumerate(zip(positions, paths)):
-        vals = [int(ref.from_limbs(rows[:, c, q]))
-                for c in range(rows.shape[1])]
+        vals = [int(ints[c, q]) for c in range(rows.shape[1])]
         out.append(MerkleOpening(
             position=int(p), values=vals,
             path=[d.astype("<u4").tobytes() for d in path]))
@@ -319,16 +335,18 @@ def prove(air: Air, trace) -> Proof:
     comp_root = comp_tree.root_bytes()
     channel.reseed_root(comp_root)
 
-    # 3. OOD evaluations at z (and z*g for the next-row frame)
+    # 3. OOD evaluations at z (and z*g for the next-row frame) — one fused
+    # device call + one host transfer (the transcript reseeds are host-side
+    # and strictly after all three evaluations, so fusing is sound)
     z = channel.coin.draw()
     zg = (z * g) % ref.P
-    ood_cur = [int(x) for x in f128.to_ints(
-        poly.eval_at(trace_polys, f128.from_int(z)))]
-    ood_nxt = [int(x) for x in f128.to_ints(
-        poly.eval_at(trace_polys, f128.from_int(zg)))]
+    e_cur, e_nxt, e_comp = _ood_eval3(
+        trace_polys, comp_cols, f128.from_int(z), f128.from_int(zg))
+    (e_cur, e_nxt, e_comp) = jax.device_get((e_cur, e_nxt, e_comp))
+    ood_cur = [int(x) for x in f128.to_ints(e_cur)]
+    ood_nxt = [int(x) for x in f128.to_ints(e_nxt)]
     channel.reseed_elements(ood_cur + ood_nxt)
-    ood_comp = [int(x) for x in f128.to_ints(
-        poly.eval_at(comp_cols, f128.from_int(z)))]
+    ood_comp = [int(x) for x in f128.to_ints(e_comp)]
     channel.reseed_elements(ood_comp)
 
     # 4. DEEP composition polynomial over the LDE domain
