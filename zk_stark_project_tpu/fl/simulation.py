@@ -73,13 +73,30 @@ class Simulation:
 
     def run_rounds_sync(self, rounds: Optional[int] = None,
                         prove_updates: bool = False,
-                        proof_options=None) -> List[dict]:
+                        proof_options=None,
+                        checkpoint_dir: Optional[str] = None) -> List[dict]:
         """Round-by-round: publish -> deliver -> train each device -> FedAvg.
-        Returns per-round summaries."""
+        Returns per-round summaries.
+
+        With `checkpoint_dir`, each completed round is checkpointed
+        atomically (global model + selector cursor + every RNG stream +
+        proof artifact) and an interrupted run resumes from the newest
+        loadable checkpoint, replaying bit-identically to an uninterrupted
+        run (see `utils/checkpoint.py`)."""
         rounds = rounds if rounds is not None else self.config.rounds
         selector = self.connection_manager.aggregator_selector
         summaries = []
-        for rnd in range(rounds):
+        start_round = 0
+        mgr = None
+        if checkpoint_dir is not None:
+            from ..utils.checkpoint import CheckpointManager
+            mgr = CheckpointManager(checkpoint_dir)
+            latest = mgr.latest()
+            if latest is not None:
+                idx, state = latest
+                self._restore_state(state)
+                start_round = idx + 1
+        for rnd in range(start_round, rounds):
             selector.start_round()
             g_w_before = self.connection_manager.get_globalWeights()
             g_b_before = self.connection_manager.get_globalBias()
@@ -93,17 +110,52 @@ class Simulation:
                 mw.run_round()
                 mw.model.reset_batch()
             summary = {"round": rnd}
+            proof_bytes = None
             if prove_updates:
-                summary["proof"] = self._prove_round(
+                summary["proof"], proof_bytes = self._prove_round(
                     selector, g_w_before, g_b_before, proof_options)
             selector.finish_round()
             summary["global_w"] = self.connection_manager.get_globalWeights()
             summary["global_b"] = self.connection_manager.get_globalBias()
             summaries.append(summary)
+            if mgr is not None:
+                mgr.save_round(rnd, self._capture_state(), proof_bytes)
         return summaries
 
-    def _prove_round(self, selector, g_w, g_b, proof_options) -> dict:
-        """Aggregation STARK for this round's stored local updates."""
+    # -- checkpoint state -----------------------------------------------------
+
+    def _capture_state(self) -> dict:
+        """Everything a round boundary needs to resume bit-identically.
+        (Stored-update buffers are empty here — `finish_round` just ran —
+        so only the global model, selector cursor and RNG streams remain.)"""
+        from ..utils.checkpoint import capture_rng
+
+        cm = self.connection_manager
+        selector = cm.aggregator_selector
+        return {
+            "global_w": cm.get_globalWeights(),
+            "global_b": cm.get_globalBias(),
+            "selector_index": selector.aggregators.index(selector._selected),
+            "device_rngs": [capture_rng(d.rng) for d in self.devices],
+            "model_rngs": [capture_rng(mw.model.rng)
+                           for mw in self.middlewares],
+        }
+
+    def _restore_state(self, state: dict) -> None:
+        from ..utils.checkpoint import restore_rng_inplace
+
+        cm = self.connection_manager
+        cm.set_global_model(state["global_w"], state["global_b"])
+        selector = cm.aggregator_selector
+        selector._selected = selector.aggregators[state["selector_index"]]
+        for dev, s in zip(self.devices, state["device_rngs"]):
+            restore_rng_inplace(dev.rng, s)
+        for mw, s in zip(self.middlewares, state["model_rngs"]):
+            restore_rng_inplace(mw.model.rng, s)
+
+    def _prove_round(self, selector, g_w, g_b, proof_options):
+        """Aggregation STARK for this round's stored local updates.
+        Returns (summary_dict, serialized_proof_bytes_or_None)."""
         from ..models.aggregation import GlobalUpdateProver
         from ..ops.signed import f64_to_felt
         from ..prover import REFERENCE_OPTIONS, prove
@@ -112,7 +164,7 @@ class Simulation:
         agg = selector._selected
         stored = list(agg.stored_device_data.values())
         if not stored:
-            return {"skipped": True}
+            return {"skipped": True}, None
         enc = lambda x: f64_to_felt(float(x))
         local_w = [[[enc(v) for v in row] for row in np.asarray(w)]
                    for (w, b, _) in stored]
@@ -128,6 +180,7 @@ class Simulation:
         air = prover.air()
         proof = prove(air, trace)
         verify(air, proof)
-        return {"proof_size": proof.size_bytes,
+        blob = proof.to_bytes()
+        return {"proof_size": len(blob),
                 "proof_time_s": time.time() - t0,
-                "digest": air.pub_inputs.digest}
+                "digest": air.pub_inputs.digest}, blob
