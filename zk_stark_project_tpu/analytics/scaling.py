@@ -1,0 +1,178 @@
+"""Scaling & throughput report — the Phase-7 numbers BASELINE.md names:
+
+  * NTT butterflies/s at 2^10 / 2^16 / 2^20 (the north-star metric),
+  * blowup-16 LDE + Blake3 Merkle commit throughput (trace rows/s),
+  * distributed-NTT scaling efficiency over 1/2/4/8-device meshes
+    (virtual CPU devices under tests; real chips on a pod).
+
+Run:  python -m zk_stark_project_tpu.analytics.scaling
+          [--sizes 10 16 20] [--reps 5] [--csv scaling_report.csv]
+
+Each section prints one JSON line (machine-parseable, like the reference's
+"Proof size:" contract) and everything is appended to the CSV.
+
+The reference has no equivalent — its only intra-proof parallelism is
+winterfell's rayon `concurrent` feature (`Cargo.toml:11`) and it records no
+throughput numbers (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+def _timeit(fn, reps: int) -> float:
+    """Median wall seconds of `fn()` (fn must block on device completion)."""
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def _rand_felts(shape, rng) -> "object":
+    from ..ops import f128
+
+    ints = rng.integers(0, 2 ** 62, size=shape)
+    return f128.from_ints(np.asarray(ints, dtype=object))
+
+
+def bench_ntt(log2_sizes: List[int], reps: int, rng) -> List[dict]:
+    """Single-device forward NTT: butterflies/s = (n/2 * log2 n) / t."""
+    import jax
+
+    from ..ops import ntt
+
+    rows = []
+    for logn in log2_sizes:
+        n = 1 << logn
+        vals = _rand_felts((n,), rng)
+        out = ntt.ntt(vals)        # compile + warm
+        out.block_until_ready()
+        t = _timeit(lambda: ntt.ntt(vals).block_until_ready(), reps)
+        butterflies = (n // 2) * logn
+        rows.append({
+            "section": "ntt", "backend": jax.default_backend(),
+            "log2_n": logn, "devices": 1,
+            "seconds": round(t, 6),
+            "butterflies_per_s": round(butterflies / t, 1),
+        })
+    return rows
+
+
+def bench_lde_commit(width: int, log2_n: int, blowup: int, reps: int,
+                     rng) -> List[dict]:
+    """Trace interpolation -> blowup LDE -> row hashing -> Merkle root
+    (the winterfell DefaultTraceLde + MerkleTree pipeline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import blake3 as b3
+    from ..ops import f128, ntt
+    from ..ops import f128_ref as ref
+
+    n = 1 << log2_n
+    trace = _rand_felts((width, n), rng)
+
+    @jax.jit
+    def commit(tr):
+        polys = ntt.interpolate(tr)
+        lde = ntt.coset_evaluate(polys, ref.GENERATOR, blowup)
+        words = f128.to_uint32_words(lde)
+        words = jnp.transpose(words, (2, 1, 0)).reshape(n * blowup, width * 4)
+        leaves = b3.hash_words(words, width * 16)
+        cur = leaves
+        while cur.shape[0] > 1:
+            cur = b3.merge(cur[0::2], cur[1::2])
+        return cur[0]
+
+    commit(trace).block_until_ready()
+    t = _timeit(lambda: commit(trace).block_until_ready(), reps)
+    return [{
+        "section": "lde_commit", "backend": jax.default_backend(),
+        "log2_n": log2_n, "devices": 1, "width": width, "blowup": blowup,
+        "seconds": round(t, 6),
+        "lde_rows_per_s": round(n * blowup / t, 1),
+    }]
+
+
+def bench_dntt_scaling(log2_n: int, reps: int, rng,
+                       device_counts: Optional[List[int]] = None) -> List[dict]:
+    """Distributed four-step NTT over 1/2/4/.. device meshes.
+    efficiency(D) = T(1) / (D * T(D))."""
+    import jax
+    from jax.sharding import Mesh
+
+    from ..parallel import dntt
+
+    n_avail = len(jax.devices())
+    counts = device_counts or [d for d in (1, 2, 4, 8) if d <= n_avail]
+    vals = _rand_felts((1 << log2_n,), rng)
+    rows = []
+    t1 = None
+    for d in counts:
+        mesh = Mesh(np.array(jax.devices()[:d]), ("tp",))
+        out = dntt.dntt(vals, mesh, "tp")     # compile + warm
+        out.block_until_ready()
+        t = _timeit(lambda: dntt.dntt(vals, mesh, "tp").block_until_ready(),
+                    reps)
+        if t1 is None:
+            t1 = t
+        rows.append({
+            "section": "dntt", "backend": jax.default_backend(),
+            "log2_n": log2_n, "devices": d,
+            "seconds": round(t, 6),
+            "speedup": round(t1 / t, 3),
+            "efficiency": round(t1 / (d * t), 3),
+        })
+    return rows
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sizes", type=int, nargs="*", default=[10, 16, 20])
+    parser.add_argument("--reps", type=int, default=5)
+    parser.add_argument("--width", type=int, default=120,
+                        help="trace width for the LDE+commit bench "
+                             "(120 = aggregation trace, 240 = training)")
+    parser.add_argument("--lde-log2n", type=int, default=10)
+    parser.add_argument("--blowup", type=int, default=16)
+    parser.add_argument("--dntt-log2n", type=int, default=14)
+    parser.add_argument("--skip-dntt", action="store_true")
+    parser.add_argument("--csv", default="scaling_report.csv")
+    args = parser.parse_args(argv)
+
+    rng = np.random.default_rng(0xBEEF)
+    rows: List[dict] = []
+    rows += bench_ntt(args.sizes, args.reps, rng)
+    rows += bench_lde_commit(args.width, args.lde_log2n, args.blowup,
+                             args.reps, rng)
+    if not args.skip_dntt:
+        rows += bench_dntt_scaling(args.dntt_log2n, args.reps, rng)
+
+    for r in rows:
+        print(json.dumps(r))
+
+    if args.csv:
+        fields = sorted({k for r in rows for k in r})
+        exists = os.path.exists(args.csv)
+        with open(args.csv, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=fields)
+            if not exists:
+                w.writeheader()
+            w.writerows(rows)
+        print(f"wrote {args.csv}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
