@@ -70,7 +70,23 @@ def _load() -> Optional[ctypes.CDLL]:
         if path is None:
             _build_failed = True
             return None
-        lib = ctypes.CDLL(path)
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            # Stale cache from another platform/arch: rebuild once, then
+            # degrade to the pure-python path rather than crash.
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+            path = _build()
+            try:
+                lib = ctypes.CDLL(path) if path else None
+            except OSError:
+                lib = None
+            if lib is None:
+                _build_failed = True
+                return None
         lib.zk_blake3.argtypes = [_u8p, ctypes.c_uint64, _u8p]
         lib.zk_blake3_merge.argtypes = [_u8p, _u8p, _u8p]
         lib.zk_blake3_rows.argtypes = [_u8p, ctypes.c_uint64,
