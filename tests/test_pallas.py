@@ -72,3 +72,23 @@ def test_red128_inputs(np_rng):
     b = f128.from_ints(np.asarray(_rand_felts(np_rng, len(ints)),
                                   dtype=object))
     assert _canon_eq(fp.mul(a, b), f128.mul(a, b))
+
+
+def test_ntt_stages_bit_exact(np_rng):
+    # fused all-stages NTT kernel vs the python-int oracle, fwd + inverse
+    from zk_stark_project_tpu.ops import ntt
+
+    n = 256
+    vals = _rand_felts(np_rng, n)
+    a = f128.from_ints(np.asarray(vals, dtype=object))
+    assert f128.use_pallas()  # tpu backend => kernel path taken
+    got_f = [int(x) for x in f128.to_ints(ntt.ntt(a))]
+    assert got_f == ref.ntt(list(vals))
+    got_i = [int(x) for x in f128.to_ints(ntt.ntt(a, inverse=True))]
+    assert got_i == ref.ntt(list(vals), invert=True)
+    # batched 2-column transform
+    cols = [_rand_felts(np_rng, n), _rand_felts(np_rng, n)]
+    a2 = f128.from_ints(np.asarray(cols, dtype=object))
+    got2 = f128.to_ints(ntt.ntt(a2))
+    assert all([int(x) for x in got2[i]] == ref.ntt(cols[i])
+               for i in range(2))

@@ -285,9 +285,43 @@ def _canon_impl(a):
 
 add = jax.jit(_add_impl)
 sub = jax.jit(_sub_impl)
-mul = jax.jit(_mul_impl)
+_mul_jnp = jax.jit(_mul_impl)
 mul_scalar = jax.jit(_mul_scalar_impl, static_argnums=1)
 canon = jax.jit(_canon_impl)
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_backend_default() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def use_pallas() -> bool:
+    """True when field muls should run as Pallas kernels (TPU backend, or
+    forced via ZKSTARK_PALLAS=1 / ZKSTARK_FORCE_PALLAS=interpret).  The jnp
+    path stays the CPU/test default: its per-mul optimization_barrier keeps
+    XLA-CPU compiles tractable, while the Pallas path owns TPU fusion."""
+    import os
+
+    env = os.environ.get("ZKSTARK_PALLAS")
+    if env == "0":
+        return False
+    if env == "1" or os.environ.get("ZKSTARK_FORCE_PALLAS") == "interpret":
+        return True
+    return _pallas_backend_default()
+
+
+def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Field product, dispatching to the fused Pallas kernel on TPU (one
+    VMEM pass, no per-mul HBM materialization) and to the barriered jnp
+    limb path elsewhere."""
+    if use_pallas():
+        from . import f128_pallas
+
+        return f128_pallas.mul(a, b)
+    return _mul_jnp(a, b)
 
 
 def neg(a: jnp.ndarray) -> jnp.ndarray:
@@ -327,8 +361,8 @@ def inv(a: jnp.ndarray) -> jnp.ndarray:
     bits_arr = jnp.asarray(bits_msb_first, dtype=jnp.uint32)
 
     def body(i, acc):
-        acc = _mul_impl(acc, acc)
-        with_mul = _mul_impl(acc, a)
+        acc = mul(acc, acc)
+        with_mul = mul(acc, a)
         take = bits_arr[i].astype(bool)
         return jnp.where(take, with_mul, acc)
 

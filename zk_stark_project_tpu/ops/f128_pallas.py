@@ -99,6 +99,22 @@ def _pow7_kernel(x_ref, o_ref):
     _store_limbs(o_ref, _mul_limbs(_mul_limbs(x4, x2), x))
 
 
+def _sub_limbs(a_l, b_l):
+    """red128 subtraction (mirrors `f128._sub_impl`)."""
+    d, w = f128._sub_limbs_with_borrow(a_l, b_l)
+    d, w2 = f128._sub_const_with_borrow(d, f128._FOLD_LIMBS, k=w)
+    d, _ = f128._sub_const_with_borrow(d, f128._FOLD_LIMBS, k=(w & w2))
+    return d
+
+
+def _add_kernel(a_ref, b_ref, o_ref):
+    _store_limbs(o_ref, _add_limbs(_load_limbs(a_ref), _load_limbs(b_ref)))
+
+
+def _sub_kernel(a_ref, b_ref, o_ref):
+    _store_limbs(o_ref, _sub_limbs(_load_limbs(a_ref), _load_limbs(b_ref)))
+
+
 # ---------------------------------------------------------------------------
 # pallas_call wrappers: flatten batch -> (8, M, 128), tile the row axis
 # ---------------------------------------------------------------------------
@@ -109,7 +125,13 @@ def _call_elementwise(kernel, arity, *arrays):
     from jax.experimental.pallas import tpu as pltpu
 
     shape = jnp.broadcast_shapes(*(a.shape[1:] for a in arrays))
-    arrays = [jnp.broadcast_to(a, (8,) + shape) for a in arrays]
+
+    def _bcast(a):
+        extra = len(shape) - (a.ndim - 1)
+        return jnp.broadcast_to(
+            a.reshape((8,) + (1,) * extra + a.shape[1:]), (8,) + shape)
+
+    arrays = [_bcast(a) for a in arrays]
     n = int(np.prod(shape)) if shape else 1
     tile = _TILE_ROWS * _LANE
     m_pad = -(-n // tile) * tile
@@ -153,3 +175,132 @@ def mul_add(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
 def pow7(x: jnp.ndarray) -> jnp.ndarray:
     """x^7 fused (the MiMC round nonlinearity, `src/helper.rs:213-220`)."""
     return _call_elementwise(_pow7_kernel, 1, x)
+
+
+@jax.jit
+def add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise red128 sum — Pallas twin of `f128.add`."""
+    return _call_elementwise(_add_kernel, 2, a, b)
+
+
+@jax.jit
+def sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise red128 difference — Pallas twin of `f128.sub`."""
+    return _call_elementwise(_sub_kernel, 2, a, b)
+
+
+# ---------------------------------------------------------------------------
+# Fused NTT: every butterfly stage of one transform in a single VMEM pass
+# ---------------------------------------------------------------------------
+#
+# This is the replacement for winterfell's concurrent NTT engine (inside
+# `DefaultTraceLde`, reference `src/training/prover.rs:273-281`): the jnp
+# stage loop (`ops/ntt._apply_stages`) materializes 3 arrays to HBM per
+# stage; this kernel keeps the whole transform resident in VMEM — one HBM
+# read of the inputs, one write of the results, log2(n) stages of pure VPU
+# work in between.
+#
+# Butterfly-by-roll formulation (Mosaic has no in-kernel strided reshapes,
+# but lane rolls are native): on bit-reversed input, stage s pairs positions
+# (i, i + half) within blocks of m = 2^s.  With
+#     t = tw_s * roll(x, -half)        (tw_s zero on upper half-positions)
+#     out = where(lower, x + t, roll(x, +half) - roll(t, +half))
+# every lane computes its butterfly output with only elementwise ops and
+# static circular shifts.  The upper lanes of `t` are garbage but provably
+# never read (roll(t, +half) at an upper position pulls from a lower one).
+
+#: fused-NTT size cap: twiddle table is (8, log2 n, n) u32 in VMEM, and a
+#: full 8-row block at 2^13 would blow the scoped-VMEM budget (larger
+#: transforms go through the four-step decomposition in `ops/ntt.py`).
+NTT_MAX_LOG2 = 12
+#: minimum size — the roll trick needs at least one full lane row.
+NTT_MIN_LOG2 = 7
+
+
+def ntt_supported(logn: int, batch: int) -> bool:
+    """Can `ntt_stages` handle a (batch, 2^logn) transform directly?"""
+    if not (NTT_MIN_LOG2 <= logn <= NTT_MAX_LOG2 + 1):
+        return False
+    if logn == NTT_MAX_LOG2 + 1:
+        return batch <= 4  # single sub-8-row block still fits VMEM
+    return True
+
+
+def _ntt_stages_kernel(x_ref, tw_ref, mask_ref, o_ref, *, logn: int,
+                       rows: int):
+    """fori_loop over the log2(n) stages (dynamic roll shifts keep the
+    Mosaic kernel one-stage-sized — an unrolled version compiles ~10x
+    slower for zero runtime win)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = 1 << logn
+
+    def roll(v, shift):
+        return pltpu.roll(v, shift=shift, axis=v.ndim - 1)
+
+    def stage(s, xl):  # s = 0 .. logn-1; block size m = 2^(s+1)
+        xl = list(xl)
+        half = jax.lax.shift_left(jnp.int32(1), s)
+        twl = [jnp.broadcast_to(tw_ref[i, pl.ds(s, 1), :], (rows, n))
+               for i in range(8)]
+        rolled = [roll(v, n - half) for v in xl]           # x[i+half]
+        t = _mul_limbs(twl, rolled)
+        added = _add_limbs(xl, t)
+        x_back = [roll(v, half) for v in xl]               # x[i-half]
+        t_back = [roll(v, half) for v in t]                # t[i-half]
+        subbed = _sub_limbs(x_back, t_back)
+        lower = jnp.broadcast_to(mask_ref[pl.ds(s, 1), :] != 0, (rows, n))
+        return tuple(jnp.where(lower, a, d)
+                     for a, d in zip(added, subbed))
+
+    xl = jax.lax.fori_loop(0, logn, stage,
+                           tuple(x_ref[i] for i in range(8)))
+    _store_limbs(o_ref, list(xl))
+
+
+def ntt_stages(x: jnp.ndarray, tw_ext: jnp.ndarray,
+               masks: jnp.ndarray) -> jnp.ndarray:
+    """All log2(n) butterfly stages on bit-reversed input, fused.
+
+    x: (8, B, n) u32 red128 limbs (any batch B; transform along last axis).
+    tw_ext: (8, L, n) stage twiddles in natural position order (zero on
+    upper half-positions); masks: (L, n) u32, 1 on lower half-positions.
+    Returns (8, B, n) in natural order.  Bit-exact vs `ntt._apply_stages`.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = x.shape[-1]
+    logn = n.bit_length() - 1
+    b = x.shape[1]
+    # Rows per grid step: Mosaic requires the block's second-to-last dim to
+    # be a multiple of 8 (or the full axis), and the kernel keeps ~10 live
+    # (rows, n) u32 planes per limb mid-mul — cap rows*n at 2^15 elements.
+    if b <= max(1, (1 << 15) // n):
+        rows = b                       # whole batch in one block
+    else:
+        rows = max(8, (1 << 15) // n)  # multiple of 8 by construction
+    b_pad = -(-b // rows) * rows
+    if b_pad != b:
+        x = jnp.concatenate(
+            [x, jnp.zeros((8, b_pad - b, n), jnp.uint32)], axis=1)
+
+    kern = functools.partial(_ntt_stages_kernel, logn=logn, rows=rows)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((8, b_pad, n), jnp.uint32),
+        grid=(b_pad // rows,),
+        in_specs=[
+            pl.BlockSpec((8, rows, n), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tw_ext.shape[1], n), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((masks.shape[0], n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, rows, n), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(x, tw_ext, masks)
+    return out[:, :b] if b_pad != b else out

@@ -36,6 +36,10 @@ def round_constants_int() -> List[int]:
 
 
 def _pow7(x: jnp.ndarray) -> jnp.ndarray:
+    if f128.use_pallas():
+        from . import f128_pallas
+
+        return f128_pallas.pow7(x)  # 4 muls fused in one VMEM pass
     # x^7 = x^4 * x^2 * x : 2 squarings + 2 muls
     x2 = f128.mul(x, x)
     x4 = f128.mul(x2, x2)

@@ -69,8 +69,11 @@ def _twiddles(logn: int, inverse: bool) -> jnp.ndarray:
         cur = 1
         while cur < n // 2:
             # powers: w^0..w^(cur-1); append w^cur * powers
-            scale = f128.mul(powers[:, cur - 1:cur], step)
-            powers = jnp.concatenate([powers, f128.mul(powers, scale)], axis=1)
+            # (table building always uses the jnp mul: pallas kernels may
+            # not be traced under compile-time eval)
+            scale = f128._mul_jnp(powers[:, cur - 1:cur], step)
+            powers = jnp.concatenate(
+                [powers, f128._mul_jnp(powers, scale)], axis=1)
             cur *= 2
         if powers.shape[1] > n // 2:
             powers = powers[:, : n // 2]
@@ -85,9 +88,39 @@ def _n_inv_limbs(logn: int) -> jnp.ndarray:
     return np.asarray(ref.to_limbs(ref.inv(1 << logn)), dtype=np.uint32)
 
 
+@functools.lru_cache(maxsize=None)
+def _stage_tables(logn: int, inverse: bool):
+    """Natural-position stage twiddles + lower-half masks for the fused
+    Pallas NTT kernel: tw_ext[s-1, i] = w_m^(i mod m) on lower
+    half-positions (m = 2^s), 0 elsewhere; masks[s-1, i] = 1 iff lower.
+    Host numpy (concrete regardless of enclosing traces)."""
+    n = 1 << logn
+    tw_full = np.asarray(_twiddles(logn, inverse))        # (8, n/2)
+    tw_ext = np.zeros((8, logn, n), dtype=np.uint32)
+    masks = np.zeros((logn, n), dtype=np.uint32)
+    idx = np.arange(n)
+    for s in range(1, logn + 1):
+        m = 1 << s
+        j = idx % m
+        lower = j < (m >> 1)
+        src = np.minimum(j * (n // m), n // 2 - 1)
+        tw_ext[:, s - 1, :] = np.where(lower[None, :], tw_full[:, src], 0)
+        masks[s - 1] = lower.astype(np.uint32)
+    return tw_ext, masks
+
+
 def _apply_stages(a: jnp.ndarray, logn: int, inverse: bool) -> jnp.ndarray:
     """Cooley-Tukey DIT stages on bit-reversed input.  a: (8, ..., n)."""
     n = 1 << logn
+    from . import f128_pallas as fp
+
+    batch = int(np.prod(a.shape[1:-1])) if a.ndim > 2 else 1
+    if f128.use_pallas() and fp.ntt_supported(logn, batch):
+        tw_ext, masks = _stage_tables(logn, inverse)
+        flat = a.reshape((8, -1, n))
+        out = fp.ntt_stages(flat, jnp.asarray(tw_ext), jnp.asarray(masks))
+        return out.reshape(a.shape)
+
     tw_full = _twiddles(logn, inverse)  # (8, n/2) powers of w_n
     batch = a.shape[1:-1]
     for s in range(1, logn + 1):
@@ -137,8 +170,9 @@ def _offset_powers(log2_n: int, offset: int, inverse: bool) -> jnp.ndarray:
         step = f128.from_int(o)
         cur = 1
         while cur < n:
-            scale = f128.mul(powers[:, cur - 1:cur], step)
-            powers = jnp.concatenate([powers, f128.mul(powers, scale)], axis=1)
+            scale = f128._mul_jnp(powers[:, cur - 1:cur], step)
+            powers = jnp.concatenate(
+                [powers, f128._mul_jnp(powers, scale)], axis=1)
             cur *= 2
         return np.asarray(jax.block_until_ready(powers[:, :n]))
 

@@ -62,7 +62,7 @@ def _domain_dev(log2_size: int, offset: int) -> jnp.ndarray:
     with jax.ensure_compile_time_eval():
         pows = jnp.asarray(ntt._offset_powers(log2_size, w, False))
         return np.asarray(jax.block_until_ready(
-            f128.mul(pows, f128.from_int(offset).reshape(8, 1))))
+            f128._mul_jnp(pows, f128.from_int(offset).reshape(8, 1))))
 
 
 @functools.lru_cache(maxsize=None)
