@@ -107,3 +107,27 @@ def test_batch_shapes(rng):
     lb = f128.from_ints(np.array(b, dtype=object).reshape(4, 6))
     got = f128.to_ints(f128.mul(la, lb)).ravel()
     assert [int(v) for v in got] == [ref.mul(x, y) for x, y in zip(a, b)]
+
+
+def test_canon_values_above_p():
+    """Regression: canon must reduce values in [p, 2^128) — the signed
+    encoding (MAX = u128::MAX, `src/helper.rs:16`) puts every negative
+    fixed-point number there.  A reduced-mod-P p-limb table once made
+    canon a silent no-op (commitments then hashed non-canonical bytes)."""
+    import numpy as np
+
+    bad = [ref.P, ref.P + 1, 2 ** 128 - 1, 2 ** 128 - 49400943249919,
+           ref.P - 1, 0, 1]
+    w = np.zeros((4, len(bad)), np.uint32)
+    for i, x in enumerate(bad):
+        for k in range(4):
+            w[k, i] = (x >> (32 * k)) & 0xFFFFFFFF
+    a = f128.from_uint32_words(np.asarray(w))
+    c = np.asarray(f128.canon(a))
+    for i, x in enumerate(bad):
+        got = sum(int(c[j, i]) << (16 * j) for j in range(8))
+        assert got == x % ref.P, (i, x)
+    words = np.asarray(f128.to_uint32_words(a))
+    for i, x in enumerate(bad):
+        got = sum(int(words[k, i]) << (32 * k) for k in range(4))
+        assert got == x % ref.P, (i, x)

@@ -1,166 +1,133 @@
-"""Per-phase wall-clock breakdown of one STARK prove() — perf triage tool.
+"""Per-phase wall-clock breakdown of proving — perf triage tool.
 
-Runs the training and aggregation statements at reference options with
-phase-level timers (device work is block_until_ready'd at each boundary so
-the numbers are honest).  Use on the real TPU:
+Times every fused prover phase (`prover/phases.py`) with blocking
+boundaries, for the training statement (batched across 8 devices, like the
+CLI) and the aggregation statement.  Use on the real TPU:
 
     python -m zk_stark_project_tpu.analytics.profile_prove [--bs N] [--reps R]
 
-The phase split mirrors `prover/stark.py::prove`.
+Output distinguishes device-phase time (executable run + transfer sync)
+from host time (Fiat–Shamir transcript, proof assembly, python-int
+conversions).
 """
 
 from __future__ import annotations
 
 import argparse
+import contextlib
 import time
 
 import numpy as np
 
+_PHASES = ("trace_lde_commit", "composition_commit", "ood_eval",
+           "deep_fri0", "fri_fold_commit", "fri_fold_final",
+           "pow_search", "gather_openings")
 
-def _phase_timed(air, trace):
-    """Instrumented copy of prove()'s phase structure (timings only)."""
-    import jax.numpy as jnp
 
-    from ..ops import f128, merkle
-    from ..ops import f128_ref as ref
-    from ..ops import ntt
-    from ..prover import fri, poly
-    from ..prover.stark import (ProverChannel, build_composition_columns,
-                                build_deep_evals, commit_rows,
-                                find_pow_nonce, open_rows)
-
-    opts = air.options
-    n = air.trace_length
-    w = air.trace_width
-    big_n = air.lde_domain_size
-    log2_big = big_n.bit_length() - 1
-    offset = air.domain_offset
-    g = air.trace_domain_generator
-    m = air.num_composition_columns
-
-    t = {}
-
-    def mark(name, t0):
-        t[name] = t.get(name, 0.0) + (time.perf_counter() - t0)
-
-    t0 = time.perf_counter()
-    channel = ProverChannel(air)
-    mark("0:init_transcript", t0)
-
-    t0 = time.perf_counter()
-    trace_polys = ntt.interpolate(trace.data)
-    lde = ntt.coset_evaluate(trace_polys, offset, opts.blowup_factor)
-    lde.block_until_ready()
-    mark("1:lde", t0)
-
-    t0 = time.perf_counter()
-    trace_tree = commit_rows(lde)
-    trace_root = trace_tree.root_bytes()
-    channel.reseed_root(trace_root)
-    mark("2:trace_commit", t0)
-
-    t0 = time.perf_counter()
-    num_constraints = air.num_transition_constraints + len(air.get_assertions())
-    alphas = channel.coin.draw_coefficients(num_constraints, opts.batching)
-    comp_cols = build_composition_columns(air, trace_polys, alphas)
-    comp_lde = ntt.coset_evaluate(comp_cols, offset, opts.blowup_factor)
-    comp_lde.block_until_ready()
-    mark("3:composition", t0)
-
-    t0 = time.perf_counter()
-    comp_tree = commit_rows(comp_lde)
-    channel.reseed_root(comp_tree.root_bytes())
-    mark("4:comp_commit", t0)
-
-    t0 = time.perf_counter()
-    from ..prover.stark import _ood_eval3
+@contextlib.contextmanager
+def timed_phases(times: dict):
+    """Wrap every prover phase with a blocking timer accumulating into
+    `times` (phase name -> seconds).  Restores the originals on exit."""
     import jax
-    z = channel.coin.draw()
-    zg = (z * g) % ref.P
-    e_cur, e_nxt, e_comp = jax.device_get(_ood_eval3(
-        trace_polys, comp_cols, f128.from_int(z), f128.from_int(zg)))
-    ood_cur = [int(x) for x in f128.to_ints(e_cur)]
-    ood_nxt = [int(x) for x in f128.to_ints(e_nxt)]
-    channel.reseed_elements(ood_cur + ood_nxt)
-    ood_comp = [int(x) for x in f128.to_ints(e_comp)]
-    channel.reseed_elements(ood_comp)
-    mark("5:ood", t0)
 
-    t0 = time.perf_counter()
-    deep_coeffs = channel.coin.draw_coefficients(2 * w + m, opts.batching)
-    deep = build_deep_evals(lde, comp_lde, deep_coeffs, z, zg,
-                            ood_cur, ood_nxt, ood_comp, log2_big, offset)
-    deep.block_until_ready()
-    mark("6:deep", t0)
+    import zk_stark_project_tpu.prover.batch as batch
+    import zk_stark_project_tpu.prover.phases as ph
 
-    t0 = time.perf_counter()
-    fri_prover = fri.FriProver(opts.fri_folding_factor,
-                               opts.fri_remainder_max_degree)
-    fri_layers, fri_remainder = fri_prover.build_layers(
-        channel, deep, offset, n)
-    mark("7:fri", t0)
+    originals = {}
 
-    t0 = time.perf_counter()
-    pow_nonce = find_pow_nonce(channel.coin, opts.grinding_bits)
-    channel.coin.reseed_with_int(pow_nonce)
-    positions = channel.coin.draw_integers(opts.num_queries, big_n)
-    mark("8:grinding", t0)
+    def wrap(name, fn):
+        def inner(*a, **k):
+            t0 = time.perf_counter()
+            out = fn(*a, **k)
+            jax.block_until_ready(out)
+            times[name] = times.get(name, 0.0) + time.perf_counter() - t0
+            return out
+        return inner
 
-    t0 = time.perf_counter()
-    open_rows(lde, trace_tree, positions)
-    open_rows(comp_lde, comp_tree, positions)
-    fri_prover.open_queries(fri_layers, positions)
-    mark("9:openings", t0)
-
-    return t
+    for name in _PHASES:
+        originals[name] = getattr(ph, name)
+        setattr(batch.phases, name, wrap(name, originals[name]))
+    try:
+        yield times
+    finally:
+        for name, fn in originals.items():
+            setattr(batch.phases, name, fn)
 
 
-def profile(bs: int = 1, reps: int = 2, verbose: bool = True):
+def profile(bs: int = 1, reps: int = 3, devices_n: int = 8, verbose=True):
     import tempfile
 
-    from ..models import ml_math
-    from ..models.ml_math import AC, FE
-    from ..models.training import TrainingUpdateProver
-    from ..ops.signed import f64_to_felt
+    from ..cli import _build_aggregator, _make_training_prover
+    from ..models.training import build_traces_stacked, fetch_boundaries
+    from ..ops import f128
+    from ..prover import prove
+    from ..prover.batch import prove_many
     from ..prover.options import REFERENCE_OPTIONS
     from ..utils.data import create_synthetic_device_data, discover_devices
 
-    rng = np.random.default_rng(0)
     with tempfile.TemporaryDirectory() as d:
-        create_synthetic_device_data(d, num_devices=1, rows=60, seed=11)
-        dev = discover_devices(d, rng=np.random.default_rng(5))[0]
+        create_synthetic_device_data(d, num_devices=devices_n, rows=60,
+                                     seed=11)
+        devs = discover_devices(d, rng=np.random.default_rng(5))
 
     opts = REFERENCE_OPTIONS
     results = []
+    rng = np.random.default_rng(0)
     for rep in range(reps):
-        host_feats, host_labs = dev.next_batch(50)
-        zk_feats = [[f64_to_felt(v) for v in row] for row in host_feats[:bs]]
-        zk_labs = [ml_math.label_to_one_hot(l, AC, 1e6)
-                   for l in host_labs[:bs]]
-        w, ws, b, bsn = ml_math.generate_initial_model(FE, AC, 1.0, rng)
-        tp = TrainingUpdateProver(
-            opts, w, b, ws, bsn, zk_feats, [[0] * FE for _ in range(bs)],
-            zk_labs, f64_to_felt(0.0001), f64_to_felt(1e6), bs, rng=rng)
-        trace = tp.build_trace()
-        air = tp.air()
-        t = _phase_timed(air, trace)
-        results.append(t)
+        provers = [_make_training_prover(dev, bs, opts, rng, False, i)
+                   for i, dev in enumerate(devs)]
+        t_b0 = time.perf_counter()
+        if f128.use_pallas():
+            stacked = build_traces_stacked(provers)
+        else:
+            import jax.numpy as jnp
+            stacked = jnp.stack([tp.build_trace().data for tp in provers],
+                                axis=1)
+        fetch_boundaries(provers, stacked)
+        traces = [tp.build_trace() for tp in provers]
+        airs = [tp.air() for tp in provers]
+        t_build = time.perf_counter() - t_b0
+
+        times = {}
+        with timed_phases(times):
+            t0 = time.perf_counter()
+            proofs = prove_many(airs, traces)
+            train_total = time.perf_counter() - t0
+
+        agg_times = {}
+        reps_list = [tp.client_rep() for tp in provers]
+        agg = _build_aggregator(reps_list, opts, rng)
+        air = agg.air()
+        tr = agg.build_trace()
+        with timed_phases(agg_times):
+            t0 = time.perf_counter()
+            prove(air, tr)
+            agg_total = time.perf_counter() - t0
+
+        entry = {"build": t_build, "train_total": train_total,
+                 "agg_total": agg_total, "train": dict(times),
+                 "agg": dict(agg_times)}
+        results.append(entry)
         if verbose:
-            total = sum(t.values())
-            print(f"--- training rep {rep} (trace {air.trace_width}x"
-                  f"{air.trace_length}, lde {air.lde_domain_size}): "
-                  f"{total:.3f}s")
-            for k in sorted(t):
-                print(f"  {k:20s} {t[k]*1e3:8.1f} ms")
+            dev_t = sum(times.values())
+            print(f"--- rep {rep}: build x{devices_n} {t_build:.3f}s | "
+                  f"train prove {train_total:.3f}s "
+                  f"(device {dev_t:.3f}s, host {train_total - dev_t:.3f}s)"
+                  f" | agg prove {agg_total:.3f}s")
+            for k in sorted(times):
+                print(f"  train {k:20s} {times[k] * 1e3:8.1f} ms")
+            for k in sorted(agg_times):
+                print(f"  agg   {k:20s} {agg_times[k] * 1e3:8.1f} ms")
     return results
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bs", type=int, default=1)
-    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--devices", type=int, default=8)
     args = ap.parse_args()
-    profile(args.bs, args.reps)
+    profile(args.bs, args.reps, args.devices)
 
 
 if __name__ == "__main__":

@@ -88,18 +88,33 @@ def _train_all_devices(devices: List[EdgeDevice], bs: int,
     phases for the whole fleet, `prover/batch.py`).  Per-proof transcripts
     are bit-identical to the sequential path.  Returns (client_reps,
     total_proof_size)."""
+    from .models.training import build_traces_stacked, fetch_boundaries
+    from .ops import f128
     from .prover.batch import prove_many
 
-    provers, traces, indices = [], [], []
+    provers, indices = [], []
     for i, dev in enumerate(devices):
         tp = _make_training_prover(dev, bs, options, rng, verbose, i)
         if tp is None:
             continue
         provers.append(tp)
-        traces.append(tp.build_trace())
         indices.append(i)
 
-    client_reps = [tr.get(0, tr.length - 1) for tr in traces]
+    if not provers:
+        return [], 0
+    if f128.use_pallas():
+        # one fused executable builds every device's trace; one transfer
+        # pulls all boundary rows (client reps + pub inputs)
+        stacked = build_traces_stacked(provers)
+    else:
+        # eager per-op chain (keeps XLA-CPU compile times sane)
+        import jax.numpy as jnp
+        stacked = jnp.stack([tp.build_trace().data for tp in provers],
+                            axis=1)
+    fetch_boundaries(provers, stacked)
+    traces = [tp.build_trace() for tp in provers]
+
+    client_reps = [tp.client_rep() for tp in provers]
     total_size = 0
     if do_prove and provers:
         t0 = time.time()

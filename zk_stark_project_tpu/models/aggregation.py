@@ -62,6 +62,13 @@ class GlobalUpdateInputs:
 class GlobalUpdateAir(Air):
     """`src/aggregation/air.rs:89-152`."""
 
+    #: fused-phase transition kernel (`prover/phases.py`): the k-scaled
+    #: linear FedAvg constraints.
+    transition_kind = "fedavg_linear"
+
+    def transition_params(self):
+        return {"k": self.pub_inputs.k}
+
     def __init__(self, trace_length: int, pub_inputs: GlobalUpdateInputs,
                  options: ProofOptions):
         d = AC * FE + AC

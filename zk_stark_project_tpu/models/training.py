@@ -73,6 +73,8 @@ class TrainingUpdateAir(Air):
 
     #: composer shortcut: all transition evaluations are identically zero.
     all_transitions_zero = True
+    #: fused-phase transition kernel (`prover/phases.py`): inert.
+    transition_kind = "zero"
 
     def __init__(self, trace_length: int, pub_inputs: TrainingUpdateInputs,
                  options: ProofOptions):
@@ -136,6 +138,109 @@ def _raw_states_chain(state0, x_batch, y_batch, lr_int: int, pr_int: int):
     return tuple(jnp.stack([o[j] for o in outs], axis=1) for j in range(4))
 
 
+def _u64_masks_to_limbs(masks: np.ndarray) -> np.ndarray:
+    """uint64 mask array -> (8,) + shape uint32 limbs (vectorized numpy —
+    masks are < 2^64 so the top four 16-bit limbs are zero)."""
+    out = np.zeros((8,) + masks.shape, np.uint32)
+    for i in range(4):
+        out[i] = ((masks >> np.uint64(16 * i)) &
+                  np.uint64(0xFFFF)).astype(np.uint32)
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9))
+def _build_stacked_traces(w0, ws0, b0, bs0, xb, yb, mask_limbs,
+                          lr_int: int, pr_int: int, n: int):
+    """Batched-device trace build as ONE executable.
+
+    w0/ws0: (8, C, AC, FE); b0/bs0: (8, C, AC); xb: (8, C, BS, FE);
+    yb: (8, C, BS, AC); mask_limbs: (8, C, n, 2*cells).  Returns the
+    stacked trace tensor (8, C, 4*cells, n).
+
+    The SGD chain runs as a lax.scan over the batch samples (the chain is
+    sequential by construction, `src/training/prover.rs:136-200`); each
+    step is vectorized over all C devices.  Bit-identical to the eager
+    per-device path (same op sequence; tested in tests/test_ml_math.py).
+    """
+    bs = xb.shape[2]
+    c = w0.shape[1]
+
+    def body(carry, xy):
+        w, ws, b, bsn = carry
+        x, y = xy
+        xs = f128.zeros(x.shape[1:])
+        new = ml_math.sgd_step(w, ws, b, bsn, x, xs, y, lr_int, pr_int)
+        return new, new
+
+    xs_scan = (jnp.moveaxis(xb, 2, 0), jnp.moveaxis(yb, 2, 0))
+    _, seqs = jax.lax.scan(body, (w0, ws0, b0, bs0), xs_scan)
+    w_seq, ws_seq, b_seq, bs_seq = seqs  # (BS, 8, C, ...)
+
+    def cat(init, seq):
+        seq = jnp.moveaxis(seq, 0, 2)                  # (8, C, BS, ...)
+        tail = jnp.repeat(seq[:, :, -1:], n - bs - 1, axis=2)
+        return jnp.concatenate([init[:, :, None], seq, tail], axis=2)
+
+    w_rows = cat(w0, w_seq)      # (8, C, n, AC, FE)
+    ws_rows = cat(ws0, ws_seq)
+    b_rows = cat(b0, b_seq)      # (8, C, n, AC)
+    bs_rows = cat(bs0, bs_seq)
+
+    wv = jnp.stack([w_rows.reshape(8, c, n, AC * FE),
+                    ws_rows.reshape(8, c, n, AC * FE)],
+                   axis=-1).reshape(8, c, n, 2 * AC * FE)
+    bv = jnp.stack([b_rows, bs_rows], axis=-1).reshape(8, c, n, 2 * AC)
+    raw = jnp.concatenate([wv, bv], axis=-1)           # (8, C, n, 120)
+    masked = f128.add(raw, mask_limbs)
+    rows = jnp.concatenate([masked, mask_limbs], axis=-1)  # (8, C, n, 240)
+    return jnp.swapaxes(rows, 2, 3)                    # (8, C, 240, n)
+
+
+def build_traces_stacked(provers: Sequence["TrainingUpdateProver"]):
+    """Build every prover's trace in one fused device executable.
+
+    Returns the stacked (8, C, W, n) tensor; each prover's `_trace` is set
+    to a view and its boundary rows are cached so `get_pub_inputs()` /
+    client-rep extraction need no further device pulls (the caller should
+    pull boundaries via `fetch_boundaries`).
+    """
+    p0 = provers[0]
+    n, bs = p0.trace_length, p0.batch_size
+    for p in provers:
+        assert (p.trace_length, p.batch_size) == (n, bs)
+
+    def stack(attr):
+        return f128.from_ints(np.asarray([getattr(p, attr) for p in provers],
+                                         dtype=object))
+
+    w0 = stack("initial_w")          # (8, C, AC, FE)
+    ws0 = stack("w_sign")
+    b0 = stack("initial_b")          # (8, C, AC)
+    bs0 = stack("b_sign")
+    xb = stack("x_batch")            # (8, C, BS, FE)
+    yb = stack("y_batch")            # (8, C, BS, AC)
+    masks = np.stack([p.masks for p in provers])       # (C, n, 120) u64
+    mask_limbs = jnp.asarray(_u64_masks_to_limbs(masks))
+
+    stacked = _build_stacked_traces(w0, ws0, b0, bs0, xb, yb, mask_limbs,
+                                    p0.learning_rate, p0.precision, n)
+    for i, p in enumerate(provers):
+        p._trace = TraceTable(stacked[:, i])
+    return stacked
+
+
+def fetch_boundaries(provers: Sequence["TrainingUpdateProver"],
+                     stacked) -> None:
+    """Pull every prover's boundary rows (rows 0 and n-1) in ONE transfer
+    and cache them for `get_pub_inputs` / client reps."""
+    n = provers[0].trace_length
+    rows = np.asarray(stacked[:, :, :, jnp.asarray([0, n - 1])])
+    for i, p in enumerate(provers):
+        ints = f128.to_ints(rows[:, i])               # (W, 2) object
+        p._boundary = [[int(ints[c_, r]) for c_ in range(rows.shape[2])]
+                       for r in range(2)]
+
+
 @jax.jit
 def _interleave_flatten(w, ws, b, bs):
     """(8, R, AC, FE)x2 + (8, R, AC)x2 -> (8, R, 120) interleaved
@@ -178,6 +283,7 @@ class TrainingUpdateProver:
         self.masks = np.asarray(masks, dtype=np.uint64)
         assert self.masks.shape == (self.trace_length, flat_len)
         self._trace = None
+        self._boundary = None  # [[row0 ints], [rowlast ints]] cache
 
     def build_trace(self) -> TraceTable:
         if self._trace is not None:
@@ -214,10 +320,27 @@ class TrainingUpdateProver:
         self._trace = TraceTable(jnp.moveaxis(rows, 1, 2))           # (8,240,n)
         return self._trace
 
+    def client_rep(self) -> int:
+        """Masked trace cell (0, last) — the reference's per-client scalar
+        rep (`src/main.rs:260`)."""
+        if self._boundary is not None:
+            return self._boundary[1][0]
+        trace = self.build_trace()
+        return trace.get(0, trace.length - 1)
+
     def get_pub_inputs(self) -> TrainingUpdateInputs:
         """`src/training/prover.rs:235-267`."""
+        half = 2 * ml_math.STATE_CELLS
+        if self._boundary is not None:
+            initial_masked = self._boundary[0][:half]
+            final_masked = self._boundary[1][:half]
+            return TrainingUpdateInputs(
+                initial_masked=initial_masked, final_masked=final_masked,
+                steps=self.trace_length - 1,
+                x_batch=self.x_batch, y_batch=self.y_batch,
+                learning_rate=self.learning_rate, precision=self.precision,
+                batch_size=self.batch_size)
         trace = self.build_trace()
-        half = trace.width // 2
         # pull only the two boundary rows (single small transfer)
         rows = np.asarray(trace.data[:, :half, [0, trace.length - 1]])
         initial_masked = [int(ref.from_limbs(rows[:, c, 0]))

@@ -41,7 +41,11 @@ LIMB_MASK = ref.LIMB_MASK
 
 _U32 = jnp.uint32
 
-_P_LIMBS = np.array(ref.to_limbs(P), dtype=np.uint32)
+# NOTE: must NOT go through ref.to_limbs (it reduces mod P, which would
+# yield the limbs of 0 and silently turn `canon` into a no-op for values
+# in [p, 2^128) — the signed encoding puts every negative number there).
+_P_LIMBS = np.array([(P >> (16 * i)) & 0xFFFF for i in range(NUM_LIMBS)],
+                    dtype=np.uint32)
 #: 2^128 mod p = 45*2^40 - 1 = 0x2CFFFFFFFFFF -> 16-bit limbs [ffff, ffff, 2cff, 0...]
 _FOLD = 45 * 2**40 - 1
 _FOLD_LIMBS = [(_FOLD >> (16 * i)) & 0xFFFF for i in range(NUM_LIMBS)]
@@ -74,13 +78,18 @@ def from_ints(xs, shape=None) -> jnp.ndarray:
 
 
 def to_ints(limbs) -> np.ndarray:
-    """Unpack (8,) + S uint32 -> object ndarray of python ints (canonical)."""
+    """Unpack (8,) + S uint32 -> object ndarray of python ints (canonical).
+
+    The 16-bit limbs are first packed into two uint64 halves with pure
+    numpy (fast), so only THREE object-dtype passes remain (shift, or,
+    mod) — this path converts every proof opening, so it is hot."""
     a = np.asarray(limbs, dtype=np.uint64)
     flat = a.reshape(NUM_LIMBS, -1)
-    out = np.zeros(flat.shape[1], dtype=object)
-    for i in range(NUM_LIMBS - 1, -1, -1):
-        out = out * (1 << LIMB_BITS) + flat[i].astype(object)
-    out = out % P
+    lo = (flat[0] | (flat[1] << np.uint64(16)) | (flat[2] << np.uint64(32))
+          | (flat[3] << np.uint64(48)))
+    hi = (flat[4] | (flat[5] << np.uint64(16)) | (flat[6] << np.uint64(32))
+          | (flat[7] << np.uint64(48)))
+    out = (lo.astype(object) | (hi.astype(object) << 64)) % P
     return out.reshape(a.shape[1:]) if a.ndim > 1 else out.reshape(())
 
 

@@ -136,6 +136,31 @@ def _apply_stages(a: jnp.ndarray, logn: int, inverse: bool) -> jnp.ndarray:
     return a
 
 
+def _four_step(values: jnp.ndarray, logn: int, inverse: bool) -> jnp.ndarray:
+    """Four-step (transpose) NTT for transforms beyond the fused-kernel
+    VMEM cap: n = n1*n2, row transforms -> mid twiddle -> column
+    transforms -> transpose.  Inner transforms recurse through `ntt` (and
+    hence the Pallas kernel); the mid twiddle table w^(j2*k1) is built on
+    device by repeated doubling.  Same index math as `parallel/dntt.py`,
+    single-chip."""
+    n = 1 << logn
+    l1 = min(logn - logn // 2, 12)
+    l2 = logn - l1
+    n1, n2 = 1 << l1, 1 << l2
+    batch = values.shape[:-1]
+    v = values.reshape(batch + (n1, n2))
+    v = jnp.swapaxes(v, -1, -2)                      # (..., n2, j1)
+    v = ntt(v, inverse)                              # A[j2, k1]
+    # mid twiddle w^(j2*k1): rows are powers of w^j2 (base table is host)
+    w_pows = _offset_powers(l2, _root_int(logn, inverse), False)  # (8, n2)
+    from ..prover import poly as _poly
+    tw = _poly.powers_of_b(jnp.asarray(w_pows), n1)  # (8, n2, n1)
+    v = f128.mul(v, tw.reshape((8,) + (1,) * (len(batch) - 1) + (n2, n1)))
+    v = jnp.swapaxes(v, -1, -2)                      # (..., k1, j2)
+    v = ntt(v, inverse)                              # B[k1, k2]
+    return jnp.swapaxes(v, -1, -2).reshape(batch + (n,))
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def ntt(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     """In-order NTT/iNTT over the size-n subgroup.  values: (8, ..., n)."""
@@ -144,6 +169,13 @@ def ntt(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     assert 1 << logn == n, "NTT size must be a power of two"
     if n == 1:
         return values
+    from . import f128_pallas as fp
+
+    batch = int(np.prod(values.shape[1:-1])) if values.ndim > 2 else 1
+    if (f128.use_pallas() and logn > fp.NTT_MAX_LOG2
+            and not fp.ntt_supported(logn, batch)):
+        # inner transforms handle inverse scaling (1/n1 * 1/n2 = 1/n)
+        return _four_step(values, logn, inverse)
     rev = jnp.asarray(_bitrev_np(logn))
     a = jnp.take(values, rev, axis=-1)
     a = _apply_stages(a, logn, inverse)

@@ -48,6 +48,17 @@ class Air:
     #: trace polynomials (winterfell `TransitionConstraintDegree::new(d)`).
     transition_degrees: List[int] = []
 
+    #: static name of this AIR's batched transition kernel
+    #: (`prover/phases.py::TRANSITION_KERNELS`; "zero" = inert transitions).
+    #: None falls back to the un-batched `evaluate_transitions_jax` path.
+    transition_kind = None
+
+    def transition_params(self):
+        """Per-statement transition-kernel parameters as python ints /
+        nested int lists (stacked to (8, C, ...) limb arrays when proofs
+        are batched)."""
+        return {}
+
     def __init__(self, trace_width: int, trace_length: int,
                  options: ProofOptions):
         assert trace_length & (trace_length - 1) == 0

@@ -305,7 +305,22 @@ def prove(air: Air, trace) -> Proof:
     """Generate a STARK proof for `trace` satisfying `air`.
 
     Mirrors the phase structure of winterfell 0.12's `prove()` with the
-    transcript layout documented in `prover/channel.py`.
+    transcript layout documented in `prover/channel.py`.  Runs as the
+    C == 1 case of the phase-fused batched prover (`prover/batch.py`);
+    AIRs without a registered `transition_kind` take the legacy un-fused
+    path below (`prove_single_legacy`).
+    """
+    from .batch import prove_many
+
+    return prove_many([air], [trace])[0]
+
+
+def prove_single_legacy(air: Air, trace) -> Proof:
+    """Un-fused single-statement prover: one jitted op per pipeline step.
+
+    Kept as the fallback for AIR classes that implement only the generic
+    `evaluate_transitions_jax` (no static transition kernel), and as the
+    readable reference for the phase structure.
     """
     opts = air.options
     n = air.trace_length
