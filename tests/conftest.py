@@ -44,3 +44,8 @@ def rng():
 @pytest.fixture
 def np_rng():
     return np.random.default_rng(0xC0FFEE)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running protocol-level test")

@@ -132,6 +132,83 @@ def _train_all_devices(devices: List[EdgeDevice], bs: int,
     return client_reps, total_size
 
 
+def run_proof_pipeline(devices: List[EdgeDevice], bs: int,
+                       options: ProofOptions, rng: np.random.Generator,
+                       verbose: bool = False):
+    """Full `--step proof` pipeline with the aggregation statement proved
+    CONCURRENTLY with the training batch.
+
+    The aggregation statement depends only on the client reps — available
+    right after trace building, before any proving — and its transcript is
+    independent of the training proofs, so the two pipelines' host<->device
+    sync latencies overlap (the reference runs them strictly sequentially,
+    `src/main.rs:374-493`).  RNG draw order matches the sequential path
+    exactly: all provers are constructed on the main thread first.
+
+    Returns (client_reps, total_training_proof_size, agg_proof).
+    """
+    import threading
+
+    from .models.training import build_traces_stacked, fetch_boundaries
+    from .ops import f128
+    from .prover.batch import prove_many
+
+    provers, indices = [], []
+    for i, dev in enumerate(devices):
+        tp = _make_training_prover(dev, bs, options, rng, verbose, i)
+        if tp is not None:
+            provers.append(tp)
+            indices.append(i)
+    if not provers:
+        return [], 0, None
+
+    if f128.use_pallas():
+        stacked = build_traces_stacked(provers)
+    else:
+        import jax.numpy as jnp
+        stacked = jnp.stack([tp.build_trace().data for tp in provers],
+                            axis=1)
+    fetch_boundaries(provers, stacked)
+    traces = [tp.build_trace() for tp in provers]
+    client_reps = [tp.client_rep() for tp in provers]
+
+    # aggregation prover constructed NOW (keeps the rng stream identical to
+    # the sequential flow), proved on a side thread
+    agg = _build_aggregator(client_reps, options, rng)
+    agg_air = agg.air()
+    agg_trace = agg.build_trace()
+    agg_result = {}
+
+    def _prove_agg():
+        try:
+            pf = prove(agg_air, agg_trace)
+            verify(agg_air, pf)
+            agg_result["proof"] = pf
+        except Exception as e:  # noqa: BLE001 - surfaced after join
+            agg_result["error"] = e
+
+    th = threading.Thread(target=_prove_agg, name="agg-prove")
+    th.start()
+
+    total_size = 0
+    airs = [tp.air() for tp in provers]
+    t0 = time.time()
+    proofs = prove_many(airs, traces)
+    gen_ms = int((time.time() - t0) * 1000)
+    for i, air, proof in zip(indices, airs, proofs):
+        verify(air, proof)
+        total_size += proof.size_bytes
+        if verbose:
+            print(f"Device {i + 1:>2}: ZK proof for {bs} samples: "
+                  f"gen = {gen_ms // len(provers):>4}ms (batched), "
+                  f"size = {proof.size_bytes} bytes")
+            print(f"Training proof size: {proof.size_bytes} bytes")
+    th.join()
+    if "error" in agg_result:
+        raise agg_result["error"]
+    return client_reps, total_size, agg_result["proof"]
+
+
 def _reps_to_locals(client_reps: List[int]):
     """Collapse client reps into tiled local models (`src/main.rs:264-272`
     — the reference's acknowledged simplification)."""
@@ -199,6 +276,26 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if args.verbose and do_prove_training:
         print("--- Client Training Updates ---")
+
+    if args.step == "proof":
+        # training batch + aggregation proved concurrently
+        client_reps, total_training_proof_size, agg_pf = run_proof_pipeline(
+            devices, args.bs, options, rng, args.verbose)
+        aggregation_proof_size = agg_pf.size_bytes
+        if args.verbose:
+            print(f"Proof size: {aggregation_proof_size} bytes")
+            print(f"Total training proof size: "
+                  f"{total_training_proof_size} bytes")
+            print(f"Aggregation proof size: {aggregation_proof_size} bytes")
+            print(f"Total proof size: "
+                  f"{total_training_proof_size + aggregation_proof_size} "
+                  f"bytes")
+            print(f"\nStep '{args.step}' completed in: "
+                  f"{int((time.time() - step_start) * 1000)}ms")
+            print(f"Overall runtime: "
+                  f"{int((time.time() - overall_start) * 1000)}ms")
+        return 0
+
     client_reps, total_training_proof_size = _train_all_devices(
         devices, args.bs, options, rng, do_prove_training, args.verbose)
 
@@ -216,30 +313,6 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.verbose:
             print(f"witness: {tr.length} rows in "
                   f"{int((time.time() - t) * 1000)}ms")
-    else:  # proof
-        t1 = time.time()
-        tr = agg.build_trace()
-        if args.verbose:
-            print(f"trace: {tr.length} rows in "
-                  f"{int((time.time() - t1) * 1000)}ms")
-        t2 = time.time()
-        air = agg.air()
-        pf = prove(air, tr)
-        aggregation_proof_size = pf.size_bytes
-        if args.verbose:
-            print(f"proof: {int((time.time() - t2) * 1000)}ms, "
-                  f"{aggregation_proof_size} bytes")
-            print(f"Proof size: {aggregation_proof_size} bytes")
-            print("verifying... ", end="")
-        verify(air, pf)
-        if args.verbose:
-            print("OK")
-            print(f"Total training proof size: "
-                  f"{total_training_proof_size} bytes")
-            print(f"Aggregation proof size: {aggregation_proof_size} bytes")
-            print(f"Total proof size: "
-                  f"{total_training_proof_size + aggregation_proof_size} "
-                  f"bytes")
 
     if args.verbose:
         print(f"\nStep '{args.step}' completed in: "

@@ -67,14 +67,24 @@ def from_int(x: int) -> jnp.ndarray:
 
 
 def from_ints(xs, shape=None) -> jnp.ndarray:
-    """Pack a (nested) sequence of python ints -> (8,) + batch-shape uint32."""
-    arr = np.asarray(
-        [ref.to_limbs(int(x) % P) for x in np.asarray(xs, dtype=object).ravel()],
-        dtype=np.uint32,
-    )  # (N, 8)
+    """Pack a (nested) sequence of python ints -> (8,) + batch-shape uint32.
+
+    Three object-dtype passes (mod, mask, shift) then pure-numpy limb
+    splits — this converts every transcript coefficient, so it is hot."""
     batch_shape = np.shape(xs) if shape is None else shape
-    arr = arr.T.reshape((NUM_LIMBS,) + tuple(batch_shape))
-    return jnp.asarray(arr)
+    flat = np.asarray(xs, dtype=object).ravel()
+    if flat.size == 0:
+        return jnp.zeros((NUM_LIMBS,) + tuple(batch_shape), dtype=_U32)
+    red = flat % P
+    lo = (red & ((1 << 64) - 1)).astype(np.uint64)
+    hi = (red >> 64).astype(np.uint64)
+    arr = np.empty((NUM_LIMBS, flat.size), dtype=np.uint32)
+    for i in range(4):
+        arr[i] = ((lo >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(
+            np.uint32)
+        arr[i + 4] = ((hi >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(
+            np.uint32)
+    return jnp.asarray(arr.reshape((NUM_LIMBS,) + tuple(batch_shape)))
 
 
 def to_ints(limbs) -> np.ndarray:
