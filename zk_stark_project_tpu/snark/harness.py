@@ -55,8 +55,8 @@ def run_snark_pipeline(work_dir: str, statement: str = "training",
     _require_zokrates()
     os.makedirs(work_dir, exist_ok=True)
     paths = write_circuits(work_dir, bs=bs, c=c)
-    circuit = paths["training.zok" if statement == "training"
-                    else "aggregator.zok"]
+    circuit = paths["training" if statement == "training"
+                    else "aggregator"]
     results: Dict[str, Dict] = {}
     results["compile"] = _run(["zokrates", "compile", "-i", circuit],
                               work_dir)

@@ -22,17 +22,24 @@ def training_witness(batch: int, fe: int = 9, ac: int = 6,
                      seed: int = 0) -> List[str]:
     """Seeded synthetic training witness (`analyze.py:235-259`): integer
     SGD over `batch` samples, returning the flat zokrates argument list."""
+    # Quirks kept for faithfulness to the reference witness generator
+    # (`analyze.py:235-259`): the SGD loop iterates over the FIELD-ENCODED
+    # sample matrix (X is overwritten by convert_matrix before the loop),
+    # and `gdigest` is the INITIAL model's hash even though the circuit's
+    # `gobal_hash_check` (root.zok) compares against the post-training
+    # model — the reference benchmarks witness/proof generation and never
+    # checks the circuit's boolean output.
     rng = np.random.RandomState(seed)
     bias = (rng.randn(ac) * precision).astype(int)
     weights = (rng.randn(ac, fe) * precision).astype(int)
     w, w_sign = convert_matrix(weights)
     b, b_sign = convert_matrix(bias)
-    x_raw = (rng.randn(batch, fe) * precision).astype(int)
-    x, x_sign = convert_matrix(x_raw)
+    x = (rng.randn(batch, fe) * precision).astype(int)
+    x, x_sign = convert_matrix(x)
     labels = []
     w_curr = weights.astype(object).copy()
     b_curr = bias.astype(object).copy()
-    for xi in x_raw:
+    for xi in x:
         lbl = int(rng.randint(1, ac))
         labels.append(lbl)
         y_true = np.zeros(ac, dtype=int)
