@@ -133,12 +133,252 @@ def plot_round_scores(analytics_dirs: List[str], out_path: str) -> str:
     return out_path
 
 
+def save_fig(fig, out_path: str, pgf: bool = False) -> str:
+    """Save PNG (+ PDF sibling, + optional PGF like the reference's LaTeX
+    export, `devices/analytics/plots.py:394-700`).  PGF export needs no
+    LaTeX at save time; failures degrade to PNG-only."""
+    fig.savefig(out_path, dpi=150)
+    base, _ = os.path.splitext(out_path)
+    try:
+        fig.savefig(base + ".pdf", bbox_inches="tight")
+        if pgf:
+            fig.savefig(base + ".pgf", bbox_inches="tight")
+    except Exception:  # noqa: BLE001 - optional export formats
+        pass
+    return out_path
+
+
+def _stats(xs: List[float]):
+    n = len(xs)
+    mean = sum(xs) / n if n else 0.0
+    var = sum((x - mean) ** 2 for x in xs) / n if n else 0.0
+    std = var ** 0.5
+    return mean, std, (std / mean if mean else 0.0)
+
+
+def plot_phase_breakdown(metric_csvs: List[str], out_path: str,
+                         pgf: bool = False) -> str:
+    """Per-step (setup/witness/proof) time panels by batch size — the
+    'Individual Phase Times' panels of `visualize_benchmarks.py:101-110`."""
+    plt = _mpl()
+    by_step: Dict[str, Dict[int, List[float]]] = defaultdict(
+        lambda: defaultdict(list))
+    for path in metric_csvs:
+        for row in _read_csv(path):
+            by_step[row["step"]][int(row["bs"])].append(float(row["time_s"]))
+    steps = sorted(by_step)
+    fig, axes = plt.subplots(1, max(len(steps), 1), figsize=(4 * len(steps), 4),
+                             squeeze=False)
+    for ax, step in zip(axes[0], steps):
+        bss = sorted(by_step[step])
+        ax.bar([str(b) for b in bss],
+               [_stats(by_step[step][b])[0] for b in bss],
+               yerr=[_stats(by_step[step][b])[1] for b in bss])
+        ax.set_title(f"{step} time")
+        ax.set_xlabel("batch size")
+        ax.set_ylabel("seconds")
+    fig.tight_layout()
+    p = save_fig(fig, out_path, pgf)
+    plt.close(fig)
+    return p
+
+
+def plot_cv_analysis(metric_csvs: List[str], out_path: str,
+                     pgf: bool = False) -> str:
+    """Coefficient-of-variation panels for time / memory / proof size —
+    the `cv_analysis` figure of `visualize_benchmarks.py:233-317`."""
+    plt = _mpl()
+    t: Dict[int, List[float]] = defaultdict(list)
+    m: Dict[int, List[float]] = defaultdict(list)
+    s: Dict[int, List[float]] = defaultdict(list)
+    for path in metric_csvs:
+        for row in _read_csv(path):
+            bs = int(row["bs"])
+            t[bs].append(float(row["time_s"]))
+            if row.get("peak_rss_mb"):
+                m[bs].append(float(row["peak_rss_mb"]))
+            if row.get("proof_size") not in (None, "", "None"):
+                s[bs].append(float(row["proof_size"]))
+    fig, axes = plt.subplots(1, 4, figsize=(16, 4))
+    panels = [("time CV", t), ("memory CV", m), ("proof size CV", s)]
+    avg_cv: Dict[int, List[float]] = defaultdict(list)
+    for ax, (title, data) in zip(axes[:3], panels):
+        bss = sorted(b for b in data if len(data[b]) > 1)
+        cvs = [_stats(data[b])[2] * 100 for b in bss]
+        for b, cv in zip(bss, cvs):
+            avg_cv[b].append(cv)
+        ax.bar([str(b) for b in bss], cvs)
+        ax.set_title(title)
+        ax.set_xlabel("batch size")
+        ax.set_ylabel("CV (%)")
+    bss = sorted(avg_cv)
+    axes[3].bar([str(b) for b in bss],
+                [sum(avg_cv[b]) / len(avg_cv[b]) for b in bss])
+    axes[3].set_title("Average CV across metrics")
+    fig.tight_layout()
+    p = save_fig(fig, out_path, pgf)
+    plt.close(fig)
+    return p
+
+
+def plot_detailed_distribution(metric_csvs: List[str], out_path: str,
+                               step: str = "proof", pgf: bool = False) -> str:
+    """Distribution (boxplot) + scalability panels — the `stark_detailed`
+    figure of `visualize_benchmarks.py:324-366`."""
+    plt = _mpl()
+    t: Dict[int, List[float]] = defaultdict(list)
+    m: Dict[int, List[float]] = defaultdict(list)
+    for path in metric_csvs:
+        for row in _read_csv(path):
+            if row["step"] != step:
+                continue
+            t[int(row["bs"])].append(float(row["time_s"]))
+            if row.get("peak_rss_mb"):
+                m[int(row["bs"])].append(float(row["peak_rss_mb"]))
+    bss = sorted(t)
+    fig, axes = plt.subplots(1, 3, figsize=(13, 4))
+    axes[0].boxplot([t[b] for b in bss], tick_labels=[str(b) for b in bss])
+    axes[0].set_title(f"{step} time distribution")
+    if any(m.values()):
+        axes[1].boxplot([m[b] for b in bss],
+                        tick_labels=[str(b) for b in bss])
+    axes[1].set_title("memory distribution")
+    means = [_stats(t[b])[0] for b in bss]
+    axes[2].plot(bss, means, "o-")
+    if means and means[0] > 0:
+        axes[2].plot(bss, [means[0] * b / max(bss[0], 1) for b in bss],
+                     "--", color="gray", label="linear")
+        axes[2].legend()
+    axes[2].set_title(f"{step} time scalability")
+    fig.tight_layout()
+    p = save_fig(fig, out_path, pgf)
+    plt.close(fig)
+    return p
+
+
+def _per_round_series(analytics_dirs: List[str], filename: str):
+    out = {}
+    for d in analytics_dirs:
+        path = os.path.join(d, filename)
+        if os.path.exists(path):
+            rows = _read_csv(path)
+            out[os.path.basename(d)] = (
+                [int(r["round"]) for r in rows],
+                [float(r["value"]) for r in rows])
+    return out
+
+
+def plot_round_metric(analytics_dirs: List[str], filename: str,
+                      ylabel: str, out_path: str, pgf: bool = False) -> str:
+    """Generic per-device per-round line panel (proof_times.csv,
+    training_local_time.csv, round_time.csv, gas.csv, ...) — the
+    `devices/analytics/plots.py` per-round figure family
+    (plot_proof_time:178, plot_training_local_time:190, plot_round_time:
+    196, plot_gas:172)."""
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for name, (xs, ys) in sorted(
+            _per_round_series(analytics_dirs, filename).items()):
+        ax.plot(xs, ys, "o-", label=name, markersize=3)
+    ax.set_xlabel("round")
+    ax.set_ylabel(ylabel)
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    p = save_fig(fig, out_path, pgf)
+    plt.close(fig)
+    return p
+
+
+def plot_round_boxplot(analytics_dirs: List[str], filename: str,
+                       ylabel: str, out_path: str, pgf: bool = False) -> str:
+    """Across-device boxplot per round — the reference's
+    `roundupdateBCtimeBP.pgf` style panel
+    (`devices/analytics/plots.py:449-470`)."""
+    plt = _mpl()
+    per_round: Dict[int, List[float]] = defaultdict(list)
+    for _, (xs, ys) in _per_round_series(analytics_dirs, filename).items():
+        for x, y in zip(xs, ys):
+            per_round[x].append(y)
+    rounds = sorted(per_round)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    if rounds:
+        ax.boxplot([per_round[r] for r in rounds],
+                   tick_labels=[str(r) for r in rounds])
+    ax.set_xlabel("round")
+    ax.set_ylabel(ylabel)
+    fig.tight_layout()
+    p = save_fig(fig, out_path, pgf)
+    plt.close(fig)
+    return p
+
+
+def plot_classification_report(analytics_dirs: List[str], out_path: str,
+                               pgf: bool = False) -> str:
+    """Per-class F1 across rounds (mean over devices) — the
+    `roundScoreClasses.pgf` panel (`devices/analytics/plots.py:541-613`)."""
+    import json
+
+    plt = _mpl()
+    per_class: Dict[str, Dict[int, List[float]]] = defaultdict(
+        lambda: defaultdict(list))
+    for d in analytics_dirs:
+        path = os.path.join(d, "classification_report.csv")
+        if not os.path.exists(path):
+            continue
+        for row in _read_csv(path):
+            rnd = int(row["round"])
+            try:
+                rep = json.loads(row["value"].replace("'", '"'))
+            except Exception:  # noqa: BLE001 - malformed rows skipped
+                continue
+            for cls, metrics in rep.items():
+                if isinstance(metrics, dict) and "f1-score" in metrics:
+                    per_class[cls][rnd].append(float(metrics["f1-score"]))
+    fig, ax = plt.subplots(figsize=(7, 4))
+    for cls in sorted(per_class):
+        rounds = sorted(per_class[cls])
+        ax.plot(rounds,
+                [sum(per_class[cls][r]) / len(per_class[cls][r])
+                 for r in rounds], "o-", label=f"class {cls}", markersize=3)
+    ax.set_xlabel("round")
+    ax.set_ylabel("F1 score")
+    ax.legend(fontsize=6, ncol=2)
+    fig.tight_layout()
+    p = save_fig(fig, out_path, pgf)
+    plt.close(fig)
+    return p
+
+
+def plot_participants_vs_batchsize(grid: Dict[int, Dict[int, float]],
+                                   out_path: str, ylabel: str = "seconds",
+                                   pgf: bool = False) -> str:
+    """Metric grid over (participants, batch size) — the
+    `participantsVSBatchsize_*.pgf` family
+    (`devices/analytics/plots.py:700,751`).  grid[participants][bs] =
+    value."""
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for parts in sorted(grid):
+        bss = sorted(grid[parts])
+        ax.plot(bss, [grid[parts][b] for b in bss], "o-",
+                label=f"{parts} participants")
+    ax.set_xlabel("batch size")
+    ax.set_ylabel(ylabel)
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    p = save_fig(fig, out_path, pgf)
+    plt.close(fig)
+    return p
+
+
 def main(argv=None) -> int:
     import argparse
     parser = argparse.ArgumentParser()
     parser.add_argument("csvs", nargs="+",
                         help="unified_metrics_*.csv files")
     parser.add_argument("--out-dir", default="plots")
+    parser.add_argument("--pgf", action="store_true",
+                        help="also export .pgf for LaTeX")
     args = parser.parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
     print(plot_time_memory_vs_batch(
@@ -147,6 +387,14 @@ def main(argv=None) -> int:
         args.csvs, os.path.join(args.out_dir, "proof_sizes.png")))
     print(plot_speedup_vs_baseline(
         args.csvs, os.path.join(args.out_dir, "speedup.png")))
+    print(plot_phase_breakdown(
+        args.csvs, os.path.join(args.out_dir, "phase_breakdown.png"),
+        args.pgf))
+    print(plot_cv_analysis(
+        args.csvs, os.path.join(args.out_dir, "cv_analysis.png"), args.pgf))
+    print(plot_detailed_distribution(
+        args.csvs, os.path.join(args.out_dir, "stark_detailed.png"),
+        pgf=args.pgf))
     return 0
 
 
