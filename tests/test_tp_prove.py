@@ -1,0 +1,93 @@
+"""Tensor-parallel single-proof path on the virtual CPU mesh: the sharded
+LDE+commit phase must produce a BIT-IDENTICAL proof to the single-device
+prover, and its collective structure must actually shard the work."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from zk_stark_project_tpu.models import aggregation as agg
+from zk_stark_project_tpu.models import ml_math
+from zk_stark_project_tpu.models.ml_math import AC, FE
+from zk_stark_project_tpu.ops import f128_ref as ref
+from zk_stark_project_tpu.ops.signed import f64_to_felt
+from zk_stark_project_tpu.parallel.tp_prove import prove_tp
+from zk_stark_project_tpu.prover import fast_options, prove
+from zk_stark_project_tpu.verifier import verify
+
+
+def _mesh(n, name="tp"):
+    devs = jax.devices()
+    if len(devs) < n:
+        pytest.skip(f"needs {n} virtual devices")
+    return Mesh(np.array(devs[:n]), (name,))
+
+
+def _agg_prover(np_rng, clients=8):
+    gw = [[int(np_rng.integers(0, 10 ** 9)) for _ in range(FE)]
+          for _ in range(AC)]
+    gb = [int(np_rng.integers(0, 10 ** 9)) for _ in range(AC)]
+    lw = [[[int(np_rng.integers(0, 10 ** 9)) for _ in range(FE)]
+           for _ in range(AC)] for _ in range(clients)]
+    lb = [[int(np_rng.integers(0, 10 ** 9)) for _ in range(AC)]
+          for _ in range(clients)]
+    return agg.GlobalUpdateProver(fast_options(), gw, gb, lw, lb,
+                                  f64_to_felt(float(clients)), rng=np_rng)
+
+
+@pytest.mark.parametrize("d", [2, 4])
+def test_tp_prove_bit_identical_aggregation(np_rng, d):
+    p = _agg_prover(np_rng)
+    air = p.air()
+    trace = p.build_trace()
+    baseline = prove(air, trace)
+    tp = prove_tp(air, trace, _mesh(d))
+    assert tp.to_bytes() == baseline.to_bytes()
+    verify(air, tp)
+
+
+def test_tp_prove_training(np_rng):
+    from zk_stark_project_tpu.models.training import TrainingUpdateProver
+
+    w, ws, b, bs = ml_math.generate_initial_model(FE, AC, 1.0, np_rng)
+    x = [[f64_to_felt(0.5)] * FE]
+    y = [ml_math.label_to_one_hot(2.0, AC, 1e6)]
+    p = TrainingUpdateProver(fast_options(), w, b, ws, bs, x,
+                             [[0] * FE], y, f64_to_felt(1e-4),
+                             f64_to_felt(1e6), 1, rng=np_rng)
+    air = p.air()
+    trace = p.build_trace()
+    baseline = prove(air, trace)
+    tp = prove_tp(air, trace, _mesh(4))
+    assert tp.to_bytes() == baseline.to_bytes()
+    verify(air, tp)
+
+
+def test_tp_phase_shards_collectives(np_rng):
+    """The sharded phase must keep polys/lde column-sharded and the bottom
+    Merkle levels domain-sharded (only the top levels replicated)."""
+    import jax.numpy as jnp
+
+    from zk_stark_project_tpu.parallel.tp_prove import tp_trace_lde_commit
+
+    p = _agg_prover(np_rng)
+    trace = p.build_trace()
+    mesh = _mesh(4)
+    stacked = jnp.stack([trace.data], axis=1)
+    polys, lde, levels = tp_trace_lde_commit(
+        stacked, p.options.blowup_factor, p.air().domain_offset, mesh)
+    def shard_count(x):
+        return len({sh.device for sh in x.addressable_shards})
+    assert shard_count(polys) == 4
+    assert shard_count(lde) == 4
+    assert shard_count(levels[0]) == 4        # leaves domain-sharded
+    assert levels[-1].shape[1] == 1           # root present
+    # root equals the single-device commit root
+    from zk_stark_project_tpu.prover import phases
+    _, _, ref_levels = phases.trace_lde_commit(
+        stacked, p.options.blowup_factor, p.air().domain_offset)
+    assert np.array_equal(np.asarray(levels[-1]),
+                          np.asarray(ref_levels[-1]))

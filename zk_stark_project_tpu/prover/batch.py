@@ -164,7 +164,7 @@ def _roots_of(levels) -> List[bytes]:
 
 
 def prove_many(airs: Sequence[Air], traces: Sequence,
-               sharding=None) -> List[Proof]:
+               sharding=None, phase1=None) -> List[Proof]:
     """Prove C same-shaped statements with batched, phase-fused device work.
 
     Per-proof transcripts are identical regardless of C — the batch only
@@ -176,6 +176,10 @@ def prove_many(airs: Sequence[Air], traces: Sequence,
     shard the client axis across a mesh; every phase is per-client
     independent, so XLA propagates the sharding with zero collectives
     (the data-parallel strategy, SURVEY.md §2).
+
+    `phase1`: optional replacement for `phases.trace_lde_commit` with the
+    same signature/returns — the tensor-parallel single-proof path
+    (`parallel/tp_prove.py`) shards the LDE+commit phase through this hook.
     """
     c = len(airs)
     assert c == len(traces) and c >= 1
@@ -215,7 +219,7 @@ def prove_many(airs: Sequence[Air], traces: Sequence,
     stacked = jnp.stack([t.data for t in traces], axis=1)  # (8, C, W, n)
     if sharding is not None:
         stacked = jax.device_put(stacked, sharding)
-    trace_polys, lde, trace_levels = phases.trace_lde_commit(
+    trace_polys, lde, trace_levels = (phase1 or phases.trace_lde_commit)(
         stacked, opts.blowup_factor, offset)
     trace_roots = _roots_of(trace_levels)
     for ch, root in zip(channels, trace_roots):
