@@ -26,7 +26,8 @@ jax.config.update("jax_platforms", "cpu")
 # but slow for XLA CPU to compile; caching makes repeat test runs fast.
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("ZKSTARK_COMPILE_CACHE",
-                                 "/tmp/zkstark_jax_cache"))
+                                 os.path.join(os.path.dirname(__file__),
+                                              "..", ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 

@@ -131,3 +131,15 @@ def test_canon_values_above_p():
     for i, x in enumerate(bad):
         got = sum(int(words[k, i]) << (32 * k) for k in range(4))
         assert got == x % ref.P, (i, x)
+
+
+def test_batch_inv_matches_single(rng):
+    from zk_stark_project_tpu.ops import f128_ref as ref
+
+    xs = [rng.randrange(1, ref.P) for _ in range(23)] + [1, ref.P - 1]
+    assert ref.batch_inv(xs) == [ref.inv(x) for x in xs]
+    assert ref.batch_inv([]) == []
+    import pytest
+
+    with pytest.raises(ZeroDivisionError):
+        ref.batch_inv([5, 0, 7])

@@ -57,3 +57,61 @@ def test_batched_commit_matches_sequential(np_rng):
         expect_lde = ntt.coset_evaluate(polys, ref.GENERATOR, 4)
         tree = commit_rows(expect_lde)
         assert np.asarray(roots[i]).tolist() == tree.root.tolist()
+
+
+# ---------------------------------------------------------------------------
+# Multi-host plumbing (single-process degradation path)
+# ---------------------------------------------------------------------------
+
+
+def test_multihost_single_process_degrades():
+    """With no coordinator configured, initialize() must not start a
+    distributed service and must report the local device set."""
+    import os
+
+    from zk_stark_project_tpu.parallel import multihost
+
+    for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+              "JAX_PROCESS_ID"):
+        assert k not in os.environ, f"test env leaked {k}"
+    info = multihost.initialize()
+    assert info.enabled is False
+    assert info.num_processes == 1 and info.process_id == 0
+    assert info.global_device_count == len(jax.devices())
+    assert info.local_device_count == len(jax.local_devices())
+
+
+def test_multihost_global_mesh_shape():
+    from zk_stark_project_tpu.parallel import multihost
+
+    mesh = multihost.global_mesh(tp=4)
+    assert mesh.axis_names == ("dp", "tp")
+    assert mesh.shape["tp"] == 4
+    assert mesh.shape["dp"] * mesh.shape["tp"] == len(jax.devices())
+    # default tp = local device count; single-host -> dp == 1
+    full = multihost.global_mesh()
+    assert full.shape["tp"] == len(jax.local_devices())
+    assert full.shape["dp"] == 1
+
+
+def test_multihost_requested_flag(monkeypatch):
+    from zk_stark_project_tpu.parallel import multihost
+
+    assert multihost.requested(True)
+    assert not multihost.requested(False)
+    monkeypatch.setenv("ZKSTARK_MULTIHOST", "1")
+    assert multihost.requested(False)
+
+
+def test_dcn_dntt_plan_volumes():
+    """The DCN four-step plan's byte accounting: one all-to-all crossing
+    hosts, everything else local/ICI."""
+    from zk_stark_project_tpu.parallel import multihost
+
+    plan = multihost.dcn_dntt_plan(log2_n=24, hosts=4, chips_per_host=4)
+    n_bytes = (1 << 24) * 16
+    assert plan["devices"] == 16
+    assert plan["local_bytes_per_chip"] == n_bytes // 16
+    assert 0 < plan["dcn_bytes_per_host"] < n_bytes
+    single = multihost.dcn_dntt_plan(log2_n=20, hosts=1, chips_per_host=8)
+    assert single["dcn_bytes_per_host"] == 0

@@ -30,9 +30,14 @@ def _enable_compile_cache() -> None:
     try:
         import jax
 
+        # Default to an in-repo cache dir: /tmp dies with the sandbox, so a
+        # cold driver session would re-pay every XLA/Mosaic compile (~3.6 min
+        # at round 2).  The repo directory persists across sessions.
+        default_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache")
         jax.config.update("jax_compilation_cache_dir",
                           os.environ.get("ZKSTARK_COMPILE_CACHE",
-                                         "/tmp/zkstark_jax_cache"))
+                                         os.path.normpath(default_dir)))
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     except Exception:  # noqa: BLE001 - cache is an optimization only

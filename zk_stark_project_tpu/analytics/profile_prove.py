@@ -60,7 +60,7 @@ def profile(bs: int = 1, reps: int = 3, devices_n: int = 8, verbose=True):
     from ..cli import _build_aggregator, _make_training_prover
     from ..models.training import build_traces_stacked, fetch_boundaries
     from ..ops import f128
-    from ..prover import prove
+    from ..prover import phases, prove
     from ..prover.batch import prove_many
     from ..prover.options import REFERENCE_OPTIONS
     from ..utils.data import create_synthetic_device_data, discover_devices
@@ -77,7 +77,7 @@ def profile(bs: int = 1, reps: int = 3, devices_n: int = 8, verbose=True):
         provers = [_make_training_prover(dev, bs, opts, rng, False, i)
                    for i, dev in enumerate(devs)]
         t_b0 = time.perf_counter()
-        if f128.use_pallas():
+        if phases.use_fused():
             stacked = build_traces_stacked(provers)
         else:
             import jax.numpy as jnp

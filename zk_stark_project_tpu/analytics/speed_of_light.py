@@ -1,0 +1,169 @@
+"""Speed-of-light / MFU-style utilization analysis for the NTT hot path.
+
+BASELINE.md's north star is "NTT butterflies/s/chip at speed-of-light".
+This tool derives that ceiling EMPIRICALLY rather than from spec sheets:
+
+  1. measure the chip's sustained elementwise uint32 multiply-add rate
+     (the VPU integer peak that limb arithmetic can actually reach —
+     a pure `a*b+c` stream on a VMEM-resident block, no memory games);
+  2. count the integer ops one f128 butterfly costs via XLA cost
+     analysis of the compiled butterfly kernel (mul + add + sub on
+     8x16-bit limbs, lazy reduction);
+  3. speed_of_light = peak_ops / ops_per_butterfly, and
+     utilization = measured_butterflies_per_s / speed_of_light.
+
+Run on the real chip:
+
+    python -m zk_stark_project_tpu.analytics.speed_of_light [--reps 5]
+
+Prints JSON lines and appends to SPEED.md-ready CSV (see `--csv`).
+The reference records no equivalent numbers at all (BASELINE.md: its only
+figures are ETA estimates in `batch_automation.py:37-38`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def _timeit(fn, reps: int) -> float:
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def measure_u32_peak(reps: int = 5, log2_n: int = 24) -> dict:
+    """Sustained uint32 multiply-add rate on a large elementwise stream.
+
+    The kernel chains K=16 dependent mul+add rounds over an n-element
+    block so the measurement is compute-bound (each element is read once
+    from HBM but touched 32 times by the VPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 1 << log2_n
+    k_rounds = 16
+
+    @jax.jit
+    def chain(a, b):
+        x = a
+        for _ in range(k_rounds):
+            x = x * b + a
+        return x
+
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.integers(1, 2 ** 31, size=n, dtype=np.uint32))
+    b = jnp.asarray(rng.integers(1, 2 ** 31, size=n, dtype=np.uint32))
+    chain(a, b).block_until_ready()
+    t = _timeit(lambda: chain(a, b).block_until_ready(), reps)
+    ops = 2 * k_rounds * n          # one mul + one add per round per elem
+    return {
+        "section": "u32_peak",
+        "backend": jax.default_backend(),
+        "elements": n, "rounds": k_rounds,
+        "seconds": round(t, 6),
+        "u32_ops_per_s": round(ops / t, 1),
+    }
+
+
+def butterfly_op_cost() -> dict:
+    """Integer-op count of one radix-2 f128 butterfly via XLA cost
+    analysis of the compiled kernel (mul by twiddle + add + sub)."""
+    import jax
+
+    from ..ops import f128
+
+    def butterfly(lo, hi, tw):
+        prod = f128.mul(hi, tw)
+        return f128.add(lo, prod), f128.sub(lo, prod)
+
+    n = 1 << 12
+    rng = np.random.default_rng(3)
+    args = [f128.from_ints(np.asarray(
+        rng.integers(0, 2 ** 62, size=n), dtype=object)) for _ in range(3)]
+    lowered = jax.jit(butterfly).lower(*args)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, list):  # some backends return a per-computation list
+        cost = cost[0]
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    return {
+        "section": "butterfly_cost",
+        "elements": n,
+        "xla_flops_total": flops,
+        "ops_per_butterfly": round(flops / n, 1) if flops else None,
+    }
+
+
+def ntt_utilization(log2_n: int, reps: int, peak_ops: float,
+                    ops_per_bfly: Optional[float]) -> dict:
+    """Measured butterflies/s vs the derived speed-of-light ceiling."""
+    import jax
+
+    from ..ops import f128, ntt
+
+    n = 1 << log2_n
+    rng = np.random.default_rng(11)
+    vals = f128.from_ints(np.asarray(
+        rng.integers(0, 2 ** 62, size=n), dtype=object))
+    ntt.ntt(vals).block_until_ready()
+    t = _timeit(lambda: ntt.ntt(vals).block_until_ready(), reps)
+    bfly = (n // 2) * log2_n
+    rate = bfly / t
+    out = {
+        "section": "ntt_utilization",
+        "backend": jax.default_backend(),
+        "log2_n": log2_n,
+        "seconds": round(t, 6),
+        "butterflies_per_s": round(rate, 1),
+    }
+    if ops_per_bfly and peak_ops:
+        sol = peak_ops / ops_per_bfly
+        out["speed_of_light_bfly_per_s"] = round(sol, 1)
+        out["utilization"] = round(rate / sol, 4)
+    return out
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--reps", type=int, default=5)
+    parser.add_argument("--sizes", type=int, nargs="*", default=[16, 20])
+    parser.add_argument("--peak-log2n", type=int, default=24)
+    parser.add_argument("--csv", default=None)
+    args = parser.parse_args(argv)
+
+    rows = []
+    peak = measure_u32_peak(args.reps, args.peak_log2n)
+    rows.append(peak)
+    cost = butterfly_op_cost()
+    rows.append(cost)
+    for logn in args.sizes:
+        rows.append(ntt_utilization(logn, args.reps,
+                                    peak["u32_ops_per_s"],
+                                    cost["ops_per_butterfly"]))
+    for r in rows:
+        print(json.dumps(r))
+    if args.csv:
+        import csv
+        import os
+        fields = sorted({k for r in rows for k in r})
+        exists = os.path.exists(args.csv)
+        with open(args.csv, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=fields)
+            if not exists:
+                w.writeheader()
+            w.writerows(rows)
+        print(f"wrote {args.csv}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

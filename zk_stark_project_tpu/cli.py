@@ -14,6 +14,7 @@ model init, masks, blinding) deterministic (SURVEY.md pin #4).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from typing import List, Optional
@@ -26,7 +27,7 @@ from .models.ml_math import AC, FE
 from .models.training import TrainingUpdateProver
 from .ops import f128_ref as ref
 from .ops.signed import f64_to_felt
-from .prover import REFERENCE_OPTIONS, ProofOptions, prove
+from .prover import REFERENCE_OPTIONS, ProofOptions, phases, prove
 from .utils.data import EdgeDevice, discover_devices
 from .verifier import verify
 
@@ -102,7 +103,7 @@ def _train_all_devices(devices: List[EdgeDevice], bs: int,
 
     if not provers:
         return [], 0
-    if f128.use_pallas():
+    if phases.use_fused():
         # one fused executable builds every device's trace; one transfer
         # pulls all boundary rows (client reps + pub inputs)
         stacked = build_traces_stacked(provers)
@@ -162,7 +163,7 @@ def run_proof_pipeline(devices: List[EdgeDevice], bs: int,
     if not provers:
         return [], 0, None
 
-    if f128.use_pallas():
+    if phases.use_fused():
         stacked = build_traces_stacked(provers)
     else:
         import jax.numpy as jnp
@@ -242,7 +243,21 @@ def main(argv: Optional[List[str]] = None) -> int:
                         help="override proof options (testing only)")
     parser.add_argument("--blowup", type=int, default=None)
     parser.add_argument("--grinding", type=int, default=None)
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed (coordinator via "
+                             "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                             "JAX_PROCESS_ID or TPU-pod auto-detection); "
+                             "degrades to single-process when unconfigured")
     args = parser.parse_args(argv)
+
+    if args.multihost or os.environ.get("ZKSTARK_MULTIHOST") == "1":
+        from .parallel import multihost
+        info = multihost.initialize()
+        if args.verbose:
+            print(f"multihost: enabled={info.enabled} "
+                  f"process {info.process_id}/{info.num_processes}, "
+                  f"{info.local_device_count} local / "
+                  f"{info.global_device_count} global devices")
 
     overall_start = time.time()
     if args.bs <= 0:

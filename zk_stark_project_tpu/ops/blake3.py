@@ -159,7 +159,12 @@ def hash_words(words: jnp.ndarray, byte_len: int) -> jnp.ndarray:
     ctr_lo = jnp.broadcast_to(jnp.asarray(counters), batch + (n_chunks,))
     ctr_hi = jnp.zeros(batch + (n_chunks,), jnp.uint32)
 
-    cv0 = _iv_cv(batch + (n_chunks,))
+    # The initial carry must share the input's varying manual axes (vma):
+    # under shard_map a broadcast constant is "unvarying" while the scan body
+    # output (derived from `words`) is "varying", and jax >= 0.9 rejects the
+    # mismatched carry.  Adding a data-derived zero transfers the vma type
+    # without changing values (XLA folds the add away).
+    cv0 = _iv_cv(batch + (n_chunks,)) + (blocks[0][..., :8] & jnp.uint32(0))
 
     def step(cv, xs):
         blk, ex, bl, fl = xs

@@ -3,27 +3,40 @@ device mesh.
 
 Round-1 gap (VERDICT): the only multi-chip axis in the proving path was
 embarrassingly-parallel dp over clients; a single proof could not use more
-than one chip.  This module shards the dominant phase of one proof — trace
-interpolation, blowup-16 LDE and Merkle leaf hashing — across a mesh axis:
+than one chip.  Round 2 sharded phase 1 (LDE+commit); this round the WHOLE
+device pipeline is mesh-sharded through `TpPhases`, a drop-in phase
+namespace for `prover/batch.py::prove_many`:
 
-  * trace COLUMNS are sharded for the NTT/LDE stage (each column is an
-    independent transform — zero collectives, `src/training/prover.rs:
-    273-281`'s rayon parallelism mapped to chips);
-  * ONE all-to-all re-shards columns -> domain points before leaf hashing
-    (a leaf needs the full W-column row), so hashing and the local Merkle
-    subtree reduction are DOMAIN-sharded;
-  * only the per-device subtree roots are gathered; the top log2(D) tree
-    levels are computed replicated (they are O(D) work).
+  phase 1  trace LDE+commit   columns sharded -> one all-to-all -> domain-
+                              sharded leaf hashing + local Merkle subtrees
+                              (only the top log2(D) levels replicated)
+  phase 2  composition        trace columns sharded for the CE-domain
+                              evaluate -> all-to-all -> domain-sharded
+                              constraint evaluation (one ppermute supplies
+                              the next-row wrap) -> all-gather of the ONE
+                              composition column (O(n), tiny vs the O(W n)
+                              phase work) -> replicated m-column re-expand
+                              -> domain-sharded commit
+  phase 4  DEEP + FRI layer0  pure domain-sharded elementwise work on the
+                              phase-1 resident shards, then one all-to-all
+                              into transposed-coset (factor, m) layout for
+                              leaf hashing
+  phase 5  FRI folds          each fold is local in the (factor, m) layout;
+                              one small all-to-all per layer re-tilts the
+                              next layer; final remainder gathered (O(F^-L))
 
-For traces that are long rather than wide (the single-column 2^20-trace
-north star), the same reshard trick applies with the four-step distributed
-NTT (`parallel/dntt.py`) as the transform stage — `scaling.py` measures
-that path directly.
+Collectives per proof: 1 all-to-all (phase 1) + 1 all-to-all + 1 ppermute +
+1 all-gather (phase 2) + 1 all-to-all (DEEP) + 1 per FRI layer (shrinking
+16x each) — all expressible over ICI on a real slice.  The reference's
+analog is winterfell's intra-host rayon `concurrent` feature
+(`Cargo.toml:11`); there is no reference multi-device equivalent.
 
-`prove_tp` plugs the sharded phase into the standard phase-fused prover
+`prove_tp` plugs `TpPhases` into the standard phase-fused prover
 (`prover/batch.py`), so the transcript is BIT-IDENTICAL to the single-chip
 `prove()` — tested in `tests/test_tp_prove.py` on the virtual CPU mesh and
-exercised by `__graft_entry__.dryrun_multichip`.
+exercised by `__graft_entry__.dryrun_multichip`.  Shapes that a mesh axis
+cannot divide evenly fall back per-phase to the replicated `prover/phases`
+implementations (never an error, never a transcript change).
 """
 
 from __future__ import annotations
@@ -32,24 +45,57 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import blake3 as b3
+from ..ops import f128
+from ..ops import f128_ref as ref
 from ..ops import ntt
-from ..prover import phases
+from ..prover import phases, poly
 from ..prover.air import Air
 from ..prover.proof import Proof
 
 
+def _finish_levels(levels):
+    """Per-device subtree levels (bottom lvl_spec-sharded, last = (C, D, 8))
+    -> full tree: append the top log2(D) replicated levels."""
+    levels = list(levels)
+    cur = levels[-1]
+    while cur.shape[1] > 1:
+        cur = b3.merge(cur[:, 0::2], cur[:, 1::2])
+        levels.append(cur)
+    return tuple(levels)
+
+
+def _leaves_fri_t(evals_t: jnp.ndarray) -> jnp.ndarray:
+    """Transposed-coset FRI leaves from the already-tilted layout:
+    evals_t (8, C, F, m) with element (k, j) = layer value [k*m + j].
+    Leaf j hashes the F coset values in k order — identical bytes to
+    `phases._leaves_fri` on the natural (8, C, N) layout."""
+    c, factor, m = evals_t.shape[1], evals_t.shape[2], evals_t.shape[3]
+    words = f128.to_uint32_words(evals_t)             # (4, C, F, m)
+    words = jnp.transpose(words, (1, 3, 2, 0))        # (C, m, F, 4)
+    return b3.hash_words(words.reshape(c, m, factor * 4), factor * 16)
+
+
 def tp_trace_lde_commit(stacked: jnp.ndarray, blowup: int, offset: int,
                         mesh: Mesh, axis_name: str = "tp"):
-    """Sharded drop-in for `phases.trace_lde_commit`.
+    """Sharded drop-in for `phases.trace_lde_commit` (see TpPhases for the
+    stateful variant that also keeps the domain-sharded rows resident).
 
     stacked: (8, C, W, n) with W divisible by the mesh axis size.  Returns
     (trace_polys, lde, levels) with polys/lde sharded on the column axis,
     the bottom Merkle levels sharded on the domain axis, and the top
     levels replicated.
     """
+    out = _tp_lde_commit_full(stacked, blowup, offset, mesh, axis_name)
+    polys, lde, _rows, levels = out
+    return polys, lde, levels
+
+
+def _tp_lde_commit_full(stacked: jnp.ndarray, blowup: int, offset: int,
+                        mesh: Mesh, axis_name: str):
     d = mesh.shape[axis_name]
     _, c, w, n = stacked.shape
     big_n = n * blowup
@@ -66,35 +112,279 @@ def tp_trace_lde_commit(stacked: jnp.ndarray, blowup: int, offset: int,
                                   concat_axis=2, tiled=True)  # (8,C,W,N/D)
         leaves = phases._leaves_rows(rows)                    # (C, N/D, 8)
         levels_local = phases._merkle_levels(leaves)  # ... (C, 1, 8)
-        return (polys_l, lde_l) + levels_local
+        return (polys_l, lde_l, rows) + levels_local
 
     n_local_levels = (big_n // d).bit_length()  # incl. the (C,1,8) top
     col_spec = P(None, None, axis_name, None)
+    row_spec = P(None, None, None, axis_name)
     lvl_spec = P(None, axis_name, None)
     f = jax.shard_map(
         kernel, mesh=mesh, in_specs=(col_spec,),
-        out_specs=(col_spec, col_spec) + (lvl_spec,) * n_local_levels)
+        out_specs=(col_spec, col_spec, row_spec) +
+        (lvl_spec,) * n_local_levels)
     out = f(stacked)
-    polys, lde = out[0], out[1]
-    levels = list(out[2:])
-    # top log2(D) levels from the gathered per-device subtree roots
-    cur = levels[-1]                                          # (C, D, 8)
-    while cur.shape[1] > 1:
-        cur = b3.merge(cur[:, 0::2], cur[:, 1::2])
-        levels.append(cur)
-    return polys, lde, tuple(levels)
+    polys, lde, rows = out[0], out[1], out[2]
+    levels = _finish_levels(out[3:])
+    return polys, lde, rows, levels
+
+
+class TpPhases:
+    """Mesh-sharded implementation of every heavy prover phase — the
+    `impl` namespace for `prove_many` (same signatures as `prover.phases`).
+
+    Holds cross-phase residents: the domain-sharded LDE rows from phase 1
+    (consumed by DEEP) and the transposed-coset FRI layer tensor
+    (consumed by successive folds).  One instance per `prove_tp` call.
+    """
+
+    def __init__(self, mesh: Mesh, axis_name: str = "tp"):
+        self.mesh = mesh
+        self.axis = axis_name
+        self.d = mesh.shape[axis_name]
+        self._rows = None          # (8, C, W, N) sharded on domain axis
+        self._fri_t = None         # (8, C, F, m) sharded on m axis
+        # delegated unchanged (host-tiny or already batched):
+        self.ood_eval = phases.ood_eval
+
+    # -- phase 1 -----------------------------------------------------------
+
+    def trace_lde_commit(self, stacked, blowup, offset):
+        d = self.d
+        _, c, w, n = stacked.shape
+        big_n = n * blowup
+        if w % d or big_n % d or (big_n // d) & (big_n // d - 1):
+            self._rows = None
+            return phases.trace_lde_commit(stacked, blowup, offset)
+        polys, lde, rows, levels = _tp_lde_commit_full(
+            stacked, blowup, offset, self.mesh, self.axis)
+        self._rows = rows
+        return polys, lde, levels
+
+    # -- phase 2 -----------------------------------------------------------
+
+    def composition_commit(self, kind, n, ce_blowup, m, offset, step_groups,
+                           blowup, trace_polys, tparams, alphas_t,
+                           group_alphas, group_vals):
+        d, ax = self.d, self.axis
+        c, w = trace_polys.shape[1], trace_polys.shape[2]
+        d_ce = n * ce_blowup
+        big_n = n * blowup
+        if (w % d or d_ce % d or big_n % d
+                or (d_ce // d) < ce_blowup or (d_ce // d) & (d_ce // d - 1)):
+            return phases.composition_commit(
+                kind, n, ce_blowup, m, offset, step_groups, blowup,
+                trace_polys, tparams, alphas_t, group_alphas, group_vals)
+
+        log2_dce = d_ce.bit_length() - 1
+        g = ref.root_of_unity(n.bit_length() - 1)
+        domain_t = jnp.asarray(phases._domain_np(log2_dce, offset))
+        zer_inv_t = jnp.asarray(
+            phases._zerofier_inv_np(n, ce_blowup, offset))
+        steps = tuple(s for (s, _) in step_groups)
+        lin_inv_t = jnp.asarray(
+            phases._lin_inv_np(n, ce_blowup, offset, steps))
+        g_last_np = phases._ints_to_limbs_np([pow(g, n - 1, ref.P)])
+
+        def kernel(polys_block, tparams_k, alphas_t_k, group_alphas_k,
+                   group_vals_k, domain_l, zer_inv_l, lin_inv_l):
+            # polys_block: (8, C, W/D, n) — CE evaluate + reshard to domain
+            ce_l = ntt.coset_evaluate(polys_block, offset, ce_blowup)
+            ce = jax.lax.all_to_all(ce_l, ax, split_axis=3, concat_axis=2,
+                                    tiled=True)       # (8, C, W, Dce/D)
+            if kind == "zero":
+                total = f128.zeros((c, d_ce // d))
+            else:
+                # next-row frame: local shift + ONE ppermute for the seam
+                # (global jnp.roll(ce, -ce_blowup) equivalent)
+                lead = ce[..., :ce_blowup]
+                recv = jax.lax.ppermute(
+                    lead, ax, [((i + 1) % d, i) for i in range(d)])
+                nxt = jnp.concatenate([ce[..., ce_blowup:], recv], axis=-1)
+                tvals = phases.TRANSITION_KERNELS[kind](ce, nxt, tparams_k)
+                t_comb = poly.combine_axis(tvals, alphas_t_k, 2)
+                g_last = jnp.asarray(g_last_np).reshape(8, 1, 1)
+                total = f128.mul(
+                    f128.mul(t_comb, zer_inv_l[:, None, :]),
+                    f128.sub(domain_l[:, None, :], g_last))
+            for si, (s, cols) in enumerate(step_groups):
+                diff = f128.sub(ce[:, :, list(cols), :],
+                                group_vals_k[si][..., None])
+                num = poly.combine_axis(diff, group_alphas_k[si], 2)
+                total = f128.add(total, f128.mul(num, lin_inv_l[:, None, si]))
+            # gather the ONE composition column (O(Dce) — tiny vs phase
+            # work) and re-expand replicated, then commit domain-sharded
+            total_full = jax.lax.all_gather(total, ax, axis=2, tiled=True)
+            coeffs_full = ntt.coset_interpolate(total_full, offset)
+            comp_cols = coeffs_full.reshape(8, c, ce_blowup, n)[:, :, :m]
+            comp_lde = ntt.coset_evaluate(comp_cols, offset, blowup)
+            idx = jax.lax.axis_index(ax)
+            chunk = jax.lax.dynamic_slice_in_dim(
+                comp_lde, idx * (big_n // d), big_n // d, axis=3)
+            leaves = phases._leaves_rows(chunk)
+            levels_local = phases._merkle_levels(leaves)
+            return (comp_cols, comp_lde) + levels_local
+
+        n_local_levels = (big_n // d).bit_length()
+        col_spec = P(None, None, ax, None)
+        rep4 = P(None, None, None, None)
+        lvl_spec = P(None, ax, None)
+        dom_spec = P(None, ax)
+        tp_specs = jax.tree.map(lambda x: P(*([None] * x.ndim)), tparams)
+        ga_specs = tuple(P(None, None, None) for _ in group_alphas)
+        gv_specs = tuple(P(None, None, None) for _ in group_vals)
+        fn = jax.shard_map(
+            kernel, mesh=self.mesh,
+            in_specs=(col_spec, tp_specs, P(None, None, None), ga_specs,
+                      gv_specs, dom_spec, dom_spec, P(None, None, ax)),
+            out_specs=(rep4, rep4) + (lvl_spec,) * n_local_levels,
+            check_vma=False)
+        out = fn(trace_polys, tparams, alphas_t, group_alphas, group_vals,
+                 domain_t, zer_inv_t, lin_inv_t)
+        comp_cols, comp_lde = out[0], out[1]
+        levels = _finish_levels(out[2:])
+        self._comp_lde = comp_lde
+        return comp_cols, comp_lde, levels
+
+    # -- phase 4: DEEP + FRI layer 0 --------------------------------------
+
+    def deep_fri0(self, log2_big, offset, factor, lde, comp_lde, g_cur,
+                  g_nxt, g_cmp, z_arr, zg_arr, ac_arr, b_arr):
+        d, ax = self.d, self.axis
+        big_n = 1 << log2_big
+        m = big_n // factor
+        if (self._rows is None or big_n % d or factor % d or m % d
+                or (m // d) & (m // d - 1)):
+            self._fri_t = None
+            return phases.deep_fri0(log2_big, offset, factor, lde, comp_lde,
+                                    g_cur, g_nxt, g_cmp, z_arr, zg_arr,
+                                    ac_arr, b_arr)
+        c = lde.shape[1]
+        domain_t = jnp.asarray(phases._domain_np(log2_big, offset))
+
+        def kernel(rows, comp_full, g_cur_k, g_nxt_k, g_cmp_k, z_k, zg_k,
+                   ac_k, b_k, domain_l):
+            # rows: (8, C, W, N/D); comp_full: (8, C, m_cols, N) replicated
+            idx = jax.lax.axis_index(ax)
+            comp_chunk = jax.lax.dynamic_slice_in_dim(
+                comp_full, idx * (big_n // d), big_n // d, axis=3)
+            big_a = f128.add(poly.combine_axis(rows, g_cur_k, 2),
+                             poly.combine_axis(comp_chunk, g_cmp_k, 2))
+            big_b = poly.combine_axis(rows, g_nxt_k, 2)
+            denoms = jnp.stack(
+                [f128.sub(domain_l[:, None, :], z_k[:, :, None]),
+                 f128.sub(domain_l[:, None, :], zg_k[:, :, None])], axis=1)
+            dinv = f128.inv(denoms)
+            term1 = f128.mul(f128.sub(big_a, ac_k[:, :, None]), dinv[:, 0])
+            term2 = f128.mul(f128.sub(big_b, b_k[:, :, None]), dinv[:, 1])
+            deep_l = f128.add(term1, term2)          # (8, C, N/D) k-chunk
+            # tilt into transposed-coset layout: (8, C, F, m/D)
+            t_l = deep_l.reshape(8, c, factor // d, m)
+            t = jax.lax.all_to_all(t_l, ax, split_axis=3, concat_axis=2,
+                                   tiled=True)
+            leaves = _leaves_fri_t(t)                # (C, m/D, 8)
+            levels_local = phases._merkle_levels(leaves)
+            return (deep_l, t) + levels_local
+
+        n_local_levels = (m // d).bit_length()
+        row_spec = P(None, None, None, ax)
+        rep2 = P(None, None)
+        fn = jax.shard_map(
+            kernel, mesh=self.mesh,
+            in_specs=(row_spec, P(None, None, None, None),
+                      P(None, None, None), P(None, None, None),
+                      P(None, None, None), rep2, rep2, rep2, rep2,
+                      P(None, ax)),
+            out_specs=(P(None, None, ax), row_spec) +
+            (P(None, ax, None),) * n_local_levels,
+            check_vma=False)
+        out = fn(self._rows, comp_lde, g_cur, g_nxt, g_cmp, z_arr, zg_arr,
+                 ac_arr, b_arr, domain_t)
+        deep = out[0].reshape(8, c, big_n)   # natural order, k-sharded
+        self._fri_t = out[1]
+        levels = _finish_levels(out[2:])
+        return deep, levels
+
+    # -- phase 5: FRI folds ------------------------------------------------
+
+    def _fold_local(self, t, betas, offset, log2_n, factor, x_inv_l):
+        """Local fold in the tilted layout: t (8, C, F, mloc) + per-proof
+        betas -> (8, C, mloc).  Mirrors `phases._fold` exactly."""
+        v = jnp.moveaxis(t, 2, 3)                     # (8, C, mloc, F)
+        a = ntt.ntt(v, inverse=True)
+        base = f128.mul(x_inv_l[:, None, :], betas[:, :, None])
+        powers = poly.powers_of_b(
+            base, 1 << max(0, (factor - 1).bit_length()))
+        powers = powers[..., :factor]
+        return poly.tree_sum(f128.mul(a, powers))
+
+    def fri_fold_commit(self, log2_n, offset, factor, evals, betas):
+        d, ax = self.d, self.axis
+        n = 1 << log2_n
+        m = n // factor           # this layer's coset count
+        m2 = m // factor          # next layer's coset count
+        if (self._fri_t is None or m % d or m2 % d or factor % d):
+            self._fri_t = None
+            return phases.fri_fold_commit(log2_n, offset, factor, evals,
+                                          betas)
+        c = self._fri_t.shape[1]
+        x_inv_t = jnp.asarray(phases._fri_x_inv_np(log2_n, factor, offset))
+
+        def kernel(t, betas_k, x_inv_l):
+            folded_l = self._fold_local(t, betas_k, offset, log2_n, factor,
+                                        x_inv_l)      # (8, C, m/D) j-chunk
+            # re-tilt for the next layer: (8, C, F, m2/D)
+            t2_l = folded_l.reshape(8, c, factor // d, m2)
+            t2 = jax.lax.all_to_all(t2_l, ax, split_axis=3, concat_axis=2,
+                                    tiled=True)
+            leaves = _leaves_fri_t(t2)
+            levels_local = phases._merkle_levels(leaves)
+            return (folded_l, t2) + levels_local
+
+        n_local_levels = (m2 // d).bit_length()
+        tilt_spec = P(None, None, None, ax)
+        fn = jax.shard_map(
+            kernel, mesh=self.mesh,
+            in_specs=(tilt_spec, P(None, None), P(None, ax)),
+            out_specs=(P(None, None, ax), tilt_spec) +
+            (P(None, ax, None),) * n_local_levels,
+            check_vma=False)
+        out = fn(self._fri_t, betas, x_inv_t)
+        folded = out[0].reshape(8, c, m)     # natural order for gathers
+        self._fri_t = out[1]
+        levels = _finish_levels(out[2:])
+        return folded, levels
+
+    def fri_fold_final(self, log2_n, offset, factor, evals, betas):
+        d, ax = self.d, self.axis
+        n = 1 << log2_n
+        m = n // factor
+        if self._fri_t is None or m % d:
+            return phases.fri_fold_final(log2_n, offset, factor, evals,
+                                         betas)
+        x_inv_t = jnp.asarray(phases._fri_x_inv_np(log2_n, factor, offset))
+        next_offset = pow(offset, factor, ref.P)
+
+        def kernel(t, betas_k, x_inv_l):
+            folded_l = self._fold_local(t, betas_k, offset, log2_n, factor,
+                                        x_inv_l)
+            folded = jax.lax.all_gather(folded_l, ax, axis=2, tiled=True)
+            return ntt.coset_interpolate(folded, next_offset)
+
+        fn = jax.shard_map(
+            kernel, mesh=self.mesh,
+            in_specs=(P(None, None, None, ax), P(None, None), P(None, ax)),
+            out_specs=P(None, None, None), check_vma=False)
+        return fn(self._fri_t, betas, x_inv_t)
 
 
 def prove_tp(air: Air, trace, mesh: Mesh, axis_name: str = "tp") -> Proof:
-    """Prove ONE statement with its LDE+commit phase sharded over `mesh`.
+    """Prove ONE statement with every heavy phase sharded over `mesh`.
 
     Transcript-identical to `prove()` (the sharding only moves where the
-    device work runs).  Remaining phases run on the gathered tensors —
-    they are O(N) against the LDE phase's O(W*N log n).
+    device work runs).  Shapes a mesh axis cannot divide fall back
+    per-phase to the replicated implementations.
     """
     from ..prover.batch import prove_many
 
-    def phase1(stacked, blowup, offset):
-        return tp_trace_lde_commit(stacked, blowup, offset, mesh, axis_name)
-
-    return prove_many([air], [trace], phase1=phase1)[0]
+    return prove_many([air], [trace],
+                      impl=TpPhases(mesh, axis_name))[0]

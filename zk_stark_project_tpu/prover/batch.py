@@ -164,7 +164,7 @@ def _roots_of(levels) -> List[bytes]:
 
 
 def prove_many(airs: Sequence[Air], traces: Sequence,
-               sharding=None, phase1=None) -> List[Proof]:
+               sharding=None, impl=None) -> List[Proof]:
     """Prove C same-shaped statements with batched, phase-fused device work.
 
     Per-proof transcripts are identical regardless of C — the batch only
@@ -177,10 +177,13 @@ def prove_many(airs: Sequence[Air], traces: Sequence,
     independent, so XLA propagates the sharding with zero collectives
     (the data-parallel strategy, SURVEY.md §2).
 
-    `phase1`: optional replacement for `phases.trace_lde_commit` with the
-    same signature/returns — the tensor-parallel single-proof path
-    (`parallel/tp_prove.py`) shards the LDE+commit phase through this hook.
+    `impl`: optional namespace overriding the device-phase implementations
+    (`trace_lde_commit`, `composition_commit`, `ood_eval`, `deep_fri0`,
+    `fri_fold_commit`, `fri_fold_final`) — defaults to `prover.phases`.
+    The tensor-parallel single-proof path (`parallel/tp_prove.py::TpPhases`)
+    shards every heavy phase over a mesh through this hook.
     """
+    impl = impl if impl is not None else phases
     c = len(airs)
     assert c == len(traces) and c >= 1
     air0 = airs[0]
@@ -219,7 +222,7 @@ def prove_many(airs: Sequence[Air], traces: Sequence,
     stacked = jnp.stack([t.data for t in traces], axis=1)  # (8, C, W, n)
     if sharding is not None:
         stacked = jax.device_put(stacked, sharding)
-    trace_polys, lde, trace_levels = (phase1 or phases.trace_lde_commit)(
+    trace_polys, lde, trace_levels = impl.trace_lde_commit(
         stacked, opts.blowup_factor, offset)
     trace_roots = _roots_of(trace_levels)
     for ch, root in zip(channels, trace_roots):
@@ -243,7 +246,7 @@ def prove_many(airs: Sequence[Air], traces: Sequence,
         _stack_felts([[a_list[j].value for (j, _, _) in groups[s]]
                       for a_list in all_assertions]) for s in steps)
     tparams = _stack_params(airs)
-    comp_cols, comp_lde, comp_levels = phases.composition_commit(
+    comp_cols, comp_lde, comp_levels = impl.composition_commit(
         kind, n, air0.ce_blowup, m, offset, step_groups, opts.blowup_factor,
         trace_polys, tparams, alphas_t, group_alphas, group_vals)
     comp_roots = _roots_of(comp_levels)
@@ -255,7 +258,7 @@ def prove_many(airs: Sequence[Air], traces: Sequence,
     zgs = [(z * g) % ref.P for z in zs]
     z_arr = _stack_felts([[z] for z in zs])[:, :, 0]    # (8, C)
     zg_arr = _stack_felts([[z] for z in zgs])[:, :, 0]
-    e_cur, e_nxt, e_cmp = jax.device_get(phases.ood_eval(
+    e_cur, e_nxt, e_cmp = jax.device_get(impl.ood_eval(
         trace_polys, comp_cols, z_arr, zg_arr))
     cur_ints = f128.to_ints(e_cur)                      # (C, W) object
     nxt_ints = f128.to_ints(e_nxt)
@@ -287,7 +290,7 @@ def prove_many(airs: Sequence[Air], traces: Sequence,
     b_arr = _stack_felts([[v] for v in b_vals])[:, :, 0]
 
     n_layers = fri.num_fri_layers(n, factor, opts.fri_remainder_max_degree)
-    deep, levels0 = phases.deep_fri0(
+    deep, levels0 = impl.deep_fri0(
         log2_big, offset, factor, lde, comp_lde,
         g_cur, g_nxt, g_cmp, z_arr, zg_arr, ac_arr, b_arr)
 
@@ -311,10 +314,10 @@ def prove_many(airs: Sequence[Air], traces: Sequence,
         layers_b.append((cur_levels, cur_evals, log2_n, roots))
         beta_arr = _stack_felts([[bt] for bt in betas])[:, :, 0]  # (8, C)
         if li < n_layers - 1:
-            cur_evals, cur_levels = phases.fri_fold_commit(
+            cur_evals, cur_levels = impl.fri_fold_commit(
                 log2_n, cur_offset, factor, cur_evals, beta_arr)
         else:
-            rem_coeffs = phases.fri_fold_final(
+            rem_coeffs = impl.fri_fold_final(
                 log2_n, cur_offset, factor, cur_evals, beta_arr)
         cur_offset = pow(cur_offset, factor, ref.P)
         cur_n //= factor

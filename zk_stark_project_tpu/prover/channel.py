@@ -42,7 +42,11 @@ def felt_to_bytes(x: int) -> bytes:
 
 
 def felts_to_bytes(xs: Sequence[int]) -> bytes:
-    return b"".join(felt_to_bytes(x) for x in xs)
+    # inlined felt_to_bytes: this serializes every proof opening's values
+    # for leaf hashing (~100k elements per bs=1 pipeline), so the per-call
+    # function overhead is worth dodging
+    p = ref.P
+    return b"".join((x % p).to_bytes(16, "little") for x in xs)
 
 
 def hash_elements(xs: Sequence[int]) -> bytes:

@@ -205,13 +205,18 @@ def fold_positions(positions: Sequence[int], folded_size: int) -> List[int]:
 
 def verify_fold_host(coset_values: Sequence[int], coset_index: int,
                      log2_n: int, domain_offset: int, beta: int,
-                     factor: int) -> int:
+                     factor: int, inv_x_c: int = None) -> int:
     """Given the F values on coset `coset_index` of a size-2^log2_n domain,
-    return the folded value f'(y) = q_c(beta)."""
+    return the folded value f'(y) = q_c(beta).  `inv_x_c` optionally
+    supplies the precomputed 1/x_c (the verifier batch-inverts these
+    across a layer's cosets)."""
     m = (1 << log2_n) // factor
     a = ref.ntt(list(coset_values), invert=True)  # a_j = f_j(y) x_c^j
-    x_c = (domain_offset * pow(ref.root_of_unity(log2_n), coset_index, ref.P)) % ref.P
-    base = (beta * ref.inv(x_c)) % ref.P
+    if inv_x_c is None:
+        x_c = (domain_offset
+               * pow(ref.root_of_unity(log2_n), coset_index, ref.P)) % ref.P
+        inv_x_c = ref.inv(x_c)
+    base = (beta * inv_x_c) % ref.P
     acc, t = a[0], base
     for j in range(1, factor):
         acc = (acc + a[j] * t) % ref.P

@@ -40,6 +40,19 @@ from ..ops import f128_ref as ref
 from ..ops import ntt
 from . import poly
 
+def use_fused() -> bool:
+    """Whether the phase-fused jit executables run (vs the eager per-op
+    chain).  Defaults to the Pallas/TPU condition; ZKSTARK_FUSED=1 forces
+    the fused path with the portable jnp mul kernels — the CI escape that
+    lets the TPU-selected executables compile and run on CPU
+    (`tests/test_fused_phases.py`)."""
+    import os
+
+    if os.environ.get("ZKSTARK_FUSED") == "1":
+        return True
+    return f128.use_pallas()
+
+
 # ---------------------------------------------------------------------------
 # Host-precomputed constant tables (lru np arrays; become jit constants)
 # ---------------------------------------------------------------------------
@@ -200,7 +213,7 @@ def trace_lde_commit(stacked: jnp.ndarray, blowup: int, offset: int):
 
     One fused executable on TPU; on CPU the same composition runs eagerly
     over the per-op jits (XLA-CPU chokes on the fused graph)."""
-    if f128.use_pallas():
+    if use_fused():
         return _trace_lde_commit_jit(stacked, blowup, offset)
     return _trace_lde_commit_impl(stacked, blowup, offset)
 
@@ -215,7 +228,7 @@ def composition_commit(kind, n, ce_blowup, m, offset, step_groups, blowup,
                        group_vals):
     """Batched constraint composition over the CE domain + LDE + commit
     (fused executable on TPU, eager per-op on CPU)."""
-    fn = (_composition_commit_jit if f128.use_pallas()
+    fn = (_composition_commit_jit if use_fused()
           else _composition_commit_impl)
     return fn(kind, n, ce_blowup, m, offset, step_groups, blowup,
               trace_polys, tparams, alphas_t, group_alphas, group_vals)
@@ -293,7 +306,7 @@ _ood_eval_jit = jax.jit(_ood_eval_impl)
 
 
 def ood_eval(trace_polys, comp_cols, z_arr, zg_arr):
-    fn = _ood_eval_jit if f128.use_pallas() else _ood_eval_impl
+    fn = _ood_eval_jit if use_fused() else _ood_eval_impl
     return fn(trace_polys, comp_cols, z_arr, zg_arr)
 
 
@@ -305,7 +318,7 @@ def ood_eval(trace_polys, comp_cols, z_arr, zg_arr):
 def deep_fri0(log2_big, offset, factor, lde, comp_lde, g_cur, g_nxt,
               g_cmp, z_arr, zg_arr, ac_arr, b_arr):
     """DEEP + first FRI commit (fused on TPU, eager on CPU)."""
-    fn = _deep_fri0_jit if f128.use_pallas() else _deep_fri0_impl
+    fn = _deep_fri0_jit if use_fused() else _deep_fri0_impl
     return fn(log2_big, offset, factor, lde, comp_lde, g_cur, g_nxt,
               g_cmp, z_arr, zg_arr, ac_arr, b_arr)
 
@@ -375,7 +388,7 @@ _fri_fold_commit_jit = jax.jit(_fri_fold_commit_impl,
 def fri_fold_commit(log2_n, offset, factor, evals, betas):
     """Fold the current layer and commit the folded one (mid-pipeline FRI
     step).  Returns (folded, levels)."""
-    fn = _fri_fold_commit_jit if f128.use_pallas() else _fri_fold_commit_impl
+    fn = _fri_fold_commit_jit if use_fused() else _fri_fold_commit_impl
     return fn(log2_n, offset, factor, evals, betas)
 
 
@@ -392,7 +405,7 @@ _fri_fold_final_jit = jax.jit(_fri_fold_final_impl, static_argnums=(0, 1, 2))
 def fri_fold_final(log2_n, offset, factor, evals, betas):
     """Final fold + remainder interpolation over the last coset.
     Returns (8, C, N/F) remainder coefficients."""
-    fn = _fri_fold_final_jit if f128.use_pallas() else _fri_fold_final_impl
+    fn = _fri_fold_final_jit if use_fused() else _fri_fold_final_impl
     return fn(log2_n, offset, factor, evals, betas)
 
 
@@ -476,7 +489,7 @@ def _sib_stack(levels: Tuple[jnp.ndarray, ...], idx: jnp.ndarray):
 def gather_openings(lde, comp_lde, trace_levels, comp_levels, fri_items,
                     pos):
     """Every opening gather in one executable (TPU) / eagerly (CPU)."""
-    fn = _gather_openings_jit if f128.use_pallas() else _gather_openings_impl
+    fn = _gather_openings_jit if use_fused() else _gather_openings_impl
     return fn(lde, comp_lde, trace_levels, comp_levels, fri_items, pos)
 
 

@@ -114,7 +114,11 @@ class Proof:
 
     @property
     def size_bytes(self) -> int:
-        return len(self.to_bytes())
+        # cached: the CLI prints the size right after proving, and a full
+        # re-serialization per lookup showed up in the pipeline profile
+        if not hasattr(self, "_size_bytes"):
+            object.__setattr__(self, "_size_bytes", len(self.to_bytes()))
+        return self._size_bytes
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "Proof":

@@ -143,18 +143,21 @@ def verify(air: Air, proof: Proof) -> None:
     c_val = sum(c * v for c, v in zip(deep_coeffs[2 * w:],
                                       proof.ood_comp)) % ref.P
     w_big = ref.root_of_unity(log2_big)
+    xs = [(offset * pow(w_big, p, ref.P)) % ref.P for p in positions]
+    # ONE Montgomery batch inversion for every query denominator
+    denom_inv = ref.batch_inv([(x - z) % ref.P for x in xs]
+                              + [(x - zg) % ref.P for x in xs])
+    q = len(positions)
     layer_values: Dict[int, int] = {}
-    for op_t, op_c, p in zip(proof.trace_openings, proof.comp_openings,
-                             positions):
-        x = (offset * pow(w_big, p, ref.P)) % ref.P
+    for qi, (op_t, op_c, p) in enumerate(zip(proof.trace_openings,
+                                             proof.comp_openings, positions)):
         big_a = sum(c * v for c, v in zip(deep_coeffs[:w], op_t.values)) % ref.P
         big_b = sum(c * v for c, v in zip(deep_coeffs[w:2 * w],
                                           op_t.values)) % ref.P
         big_cc = sum(c * v for c, v in zip(deep_coeffs[2 * w:],
                                            op_c.values)) % ref.P
-        term1 = ((big_a + big_cc - a_val - c_val)
-                 * ref.inv((x - z) % ref.P)) % ref.P
-        term2 = ((big_b - b_val) * ref.inv((x - zg) % ref.P)) % ref.P
+        term1 = ((big_a + big_cc - a_val - c_val) * denom_inv[qi]) % ref.P
+        term2 = ((big_b - b_val) * denom_inv[q + qi]) % ref.P
         layer_values[p] = (term1 + term2) % ref.P
 
     # ---- FRI fold walk ------------------------------------------------------
@@ -184,11 +187,15 @@ def verify(air: Air, proof: Proof) -> None:
             c, kk = p % m_l, p // m_l
             _check(by_coset[c][kk] == layer_values[p],
                    f"FRI layer {layer_idx}: value mismatch at position {p}")
-        # fold
+        # fold (coset-point inverses batched across the layer's cosets)
+        w_l = ref.root_of_unity(log2_n)
+        xc_inv = ref.batch_inv(
+            [(cur_offset * pow(w_l, c, ref.P)) % ref.P for c in folded])
         next_values: Dict[int, int] = {}
-        for c in folded:
+        for ci, c in enumerate(folded):
             next_values[c] = fri.verify_fold_host(
-                by_coset[c], c, log2_n, cur_offset, betas[layer_idx], factor)
+                by_coset[c], c, log2_n, cur_offset, betas[layer_idx], factor,
+                inv_x_c=xc_inv[ci])
         layer_positions = folded
         layer_values = next_values
         cur_n = m_l
