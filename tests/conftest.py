@@ -24,10 +24,9 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the limb-arithmetic graphs are cheap to run
 # but slow for XLA CPU to compile; caching makes repeat test runs fast.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("ZKSTARK_COMPILE_CACHE",
-                                 os.path.join(os.path.dirname(__file__),
-                                              "..", ".jax_cache")))
+# same machine-fingerprinted dir the package picks (stale AOT entries
+# from a different host CPU segfault — see zk_stark_project_tpu/__init__.py)
+import zk_stark_project_tpu  # noqa: E402,F401  (applies the cache config)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 

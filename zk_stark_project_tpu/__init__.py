@@ -33,8 +33,28 @@ def _enable_compile_cache() -> None:
         # Default to an in-repo cache dir: /tmp dies with the sandbox, so a
         # cold driver session would re-pay every XLA/Mosaic compile (~3.6 min
         # at round 2).  The repo directory persists across sessions.
+        #
+        # The dir is suffixed with a host-CPU fingerprint: XLA:CPU AOT cache
+        # entries bake in the compile machine's vector ISA, and loading an
+        # entry from a beefier host SEGFAULTS (observed: avx512/amx entries
+        # from a prior round's machine crashing `_fold` here).  Keying the
+        # directory by CPU flags makes cross-machine reuse impossible while
+        # keeping same-machine persistence.
+        import hashlib
+
+        tag = "generic"
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        tag = hashlib.sha256(
+                            line.encode()).hexdigest()[:12]
+                        break
+        except OSError:
+            pass
         default_dir = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache")
+            os.path.dirname(os.path.abspath(__file__)), "..",
+            f".jax_cache-{tag}")
         jax.config.update("jax_compilation_cache_dir",
                           os.environ.get("ZKSTARK_COMPILE_CACHE",
                                          os.path.normpath(default_dir)))

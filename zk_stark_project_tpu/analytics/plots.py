@@ -401,3 +401,87 @@ def main(argv=None) -> int:
 if __name__ == "__main__":
     import sys
     sys.exit(main())
+
+
+# ---------------------------------------------------------------------------
+# Round-3 measurement artifacts (scaling_report / speed_of_light /
+# bench_sweep / tp_scaling CSVs -> committed figures)
+# ---------------------------------------------------------------------------
+
+
+def plot_ntt_throughput(scaling_csvs: List[str], out_path: str,
+                        pgf: bool = False) -> str:
+    """Device NTT butterflies/s vs transform size, with the single-dispatch
+    (RTT-bound) rate alongside — from `analytics/scaling.py` CSVs."""
+    plt = _mpl()
+    rows = [r for p in scaling_csvs for r in _read_csv(p)
+            if r.get("section") == "ntt"]
+    rows.sort(key=lambda r: int(r["log2_n"]))
+    xs = [int(r["log2_n"]) for r in rows]
+    dev = [float(r["device_butterflies_per_s"]) / 1e9 for r in rows]
+    disp = [float(r["butterflies_per_s"]) / 1e9 for r in rows]
+    fig, ax = plt.subplots(figsize=(7, 4.2))
+    ax.plot(xs, dev, "o-", label="device throughput (chained)")
+    ax.plot(xs, disp, "s--", label="single dispatch (incl. link RTT)")
+    ax.set_yscale("log")
+    ax.set_xlabel("log2(transform size)")
+    ax.set_ylabel("butterflies / s (1e9)")
+    ax.set_title("f128 NTT throughput per TPU chip")
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    fig.tight_layout()
+    return save_fig(fig, out_path, pgf)
+
+
+def plot_bench_sweep(sweep_csvs: List[str], out_path: str,
+                     pgf: bool = False) -> str:
+    """Pipeline seconds vs batch size, TPU vs the reference's recorded ETA
+    table (`batch_automation.py:37-38`) — from `analytics/bench_sweep.py`."""
+    plt = _mpl()
+    rows = [r for p in sweep_csvs for r in _read_csv(p)]
+    rows.sort(key=lambda r: int(r["bs"]))
+    xs = [int(r["bs"]) for r in rows]
+    ours = [float(r["seconds"]) for r in rows]
+    refs = [float(r["reference_seconds"]) for r in rows]
+    fig, (ax, ax2) = plt.subplots(1, 2, figsize=(10, 4.2))
+    ax.plot(xs, refs, "s--", label="reference (Rust, CPU ETA table)")
+    ax.plot(xs, ours, "o-", label="this framework (TPU chip)")
+    ax.set_yscale("log")
+    ax.set_xlabel("ZK batch size")
+    ax.set_ylabel("full pipeline seconds")
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    sp = [float(r["speedup_vs_reference"]) for r in rows]
+    ax2.bar([str(x) for x in xs], sp)
+    ax2.axhline(10.0, color="k", lw=1, ls=":", label="10x target")
+    ax2.set_xlabel("ZK batch size")
+    ax2.set_ylabel("speedup vs reference")
+    ax2.legend()
+    fig.suptitle("STARK proof pipeline: batch-size sweep")
+    fig.tight_layout()
+    return save_fig(fig, out_path, pgf)
+
+
+def plot_tp_efficiency(tp_csvs: List[str], out_path: str,
+                       pgf: bool = False) -> str:
+    """Distributed-NTT and tensor-parallel-prove scaling over mesh sizes —
+    from `analytics/tp_scaling.py` CSVs."""
+    plt = _mpl()
+    rows = [r for p in tp_csvs for r in _read_csv(p)]
+    fig, ax = plt.subplots(figsize=(7, 4.2))
+    for section in ("dntt", "prove_tp"):
+        sec = [r for r in rows if r.get("section") == section]
+        if not sec:
+            continue
+        sec.sort(key=lambda r: int(r["devices"]))
+        ax.plot([int(r["devices"]) for r in sec],
+                [float(r["speedup"]) for r in sec], "o-", label=section)
+    ds = sorted({int(r["devices"]) for r in rows})
+    ax.plot(ds, ds, "k:", lw=1, label="ideal")
+    ax.set_xlabel("mesh devices")
+    ax.set_ylabel("speedup vs 1 device")
+    ax.set_title("mesh scaling (virtual CPU mesh — see tp_scaling.py caveat)")
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    fig.tight_layout()
+    return save_fig(fig, out_path, pgf)

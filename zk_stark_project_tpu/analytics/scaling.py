@@ -46,25 +46,37 @@ def _rand_felts(shape, rng) -> "object":
     return f128.from_ints(np.asarray(ints, dtype=object))
 
 
-def bench_ntt(log2_sizes: List[int], reps: int, rng) -> List[dict]:
-    """Single-device forward NTT: butterflies/s = (n/2 * log2 n) / t."""
+def bench_ntt(log2_sizes: List[int], reps: int, rng,
+              chain: int = 8) -> List[dict]:
+    """Single-device forward NTT: butterflies/s = (n/2 * log2 n) / t.
+
+    Reports BOTH the single-dispatch wall time (includes the host<->device
+    round trip — ~24 ms on a tunneled chip, which swamps the device at
+    small n) and the amortized per-transform time from `chain` dependent
+    NTTs fused into one executable (the device-throughput number the
+    speed-of-light comparison uses)."""
     import jax
 
     from ..ops import ntt
 
+    from .speed_of_light import device_ntt_seconds, measure_rtt
+
+    rtt = measure_rtt()
     rows = []
     for logn in log2_sizes:
         n = 1 << logn
         vals = _rand_felts((n,), rng)
-        out = ntt.ntt(vals)        # compile + warm
-        out.block_until_ready()
-        t = _timeit(lambda: ntt.ntt(vals).block_until_ready(), reps)
+        ntt.ntt(vals).block_until_ready()  # compile + warm
+        t_dev, t1, (k1, k2) = device_ntt_seconds(vals, reps)
         butterflies = (n // 2) * logn
         rows.append({
             "section": "ntt", "backend": jax.default_backend(),
-            "log2_n": logn, "devices": 1,
-            "seconds": round(t, 6),
-            "butterflies_per_s": round(butterflies / t, 1),
+            "log2_n": logn, "devices": 1, "chain": k2,
+            "seconds": round(t1, 6),
+            "rtt_seconds": round(rtt, 6),
+            "butterflies_per_s": round(butterflies / t1, 1),
+            "device_seconds_per_ntt": round(t_dev, 6),
+            "device_butterflies_per_s": round(butterflies / t_dev, 1),
         })
     return rows
 
@@ -82,6 +94,11 @@ def bench_lde_commit(width: int, log2_n: int, blowup: int, reps: int,
 
     n = 1 << log2_n
     trace = _rand_felts((width, n), rng)
+    # A fully-unrolled 2^24-leaf Merkle tree exceeds the compile service's
+    # HLO size limit; above 2^16 leaves the tree levels run as per-level
+    # dispatches (each level shape gets its own cached jit) and only the
+    # LDE + leaf hashing stays in the fused executable.
+    fused_tree = n * blowup <= (1 << 16)
 
     @jax.jit
     def commit(tr):
@@ -90,13 +107,23 @@ def bench_lde_commit(width: int, log2_n: int, blowup: int, reps: int,
         words = f128.to_uint32_words(lde)
         words = jnp.transpose(words, (2, 1, 0)).reshape(n * blowup, width * 4)
         leaves = b3.hash_words(words, width * 16)
-        cur = leaves
-        while cur.shape[0] > 1:
-            cur = b3.merge(cur[0::2], cur[1::2])
-        return cur[0]
+        if fused_tree:
+            cur = leaves
+            while cur.shape[0] > 1:
+                cur = b3.merge(cur[0::2], cur[1::2])
+            return cur[0]
+        return leaves
 
-    commit(trace).block_until_ready()
-    t = _timeit(lambda: commit(trace).block_until_ready(), reps)
+    def run():
+        cur = commit(trace)
+        if not fused_tree:
+            while cur.shape[0] > 1:
+                cur = b3.merge(cur[0::2], cur[1::2])
+            cur = cur[0]
+        return cur
+
+    run().block_until_ready()
+    t = _timeit(lambda: run().block_until_ready(), reps)
     return [{
         "section": "lde_commit", "backend": jax.default_backend(),
         "log2_n": log2_n, "devices": 1, "width": width, "blowup": blowup,

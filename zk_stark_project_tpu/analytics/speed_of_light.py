@@ -41,36 +41,57 @@ def _timeit(fn, reps: int) -> float:
     return float(np.median(ts))
 
 
-def measure_u32_peak(reps: int = 5, log2_n: int = 24) -> dict:
-    """Sustained uint32 multiply-add rate on a large elementwise stream.
+def measure_rtt(reps: int = 9) -> float:
+    """Median dispatch+sync round trip for a trivial executable — the
+    latency floor every phase pays (large on a tunneled chip)."""
+    import jax
+    import jax.numpy as jnp
 
-    The kernel chains K=16 dependent mul+add rounds over an n-element
-    block so the measurement is compute-bound (each element is read once
-    from HBM but touched 32 times by the VPU)."""
+    x = jnp.zeros((8,), jnp.uint32)
+    f = jax.jit(lambda v: v + 1)
+    np.asarray(f(x))
+    return _timeit(lambda: np.asarray(f(x)), reps)
+
+
+def measure_u32_peak(reps: int = 5, log2_n: int = 22,
+                     k_rounds: int = 2048) -> dict:
+    """Sustained uint32 multiply-add rate on a compute-bound stream.
+
+    Chains k_rounds dependent mul+add rounds over an n-element block, so
+    the VPU work (2*k*n ops) dwarfs both the single HBM pass and the
+    dispatch round trip; the result is fetched (4-byte reduction) to
+    force completion.  The RTT baseline is subtracted."""
     import jax
     import jax.numpy as jnp
 
     n = 1 << log2_n
-    k_rounds = 16
 
     @jax.jit
-    def chain(a, b):
-        x = a
-        for _ in range(k_rounds):
-            x = x * b + a
-        return x
+    def chain(a, b, k):
+        # dynamic trip count: one compile, RTT cancels in the two-point
+        # slope; inner 8-round body keeps loop overhead negligible
+        def body(i, x):
+            for _ in range(8):
+                x = x * b + a
+            return x
+        return jax.lax.fori_loop(0, k, body, a).sum()
 
     rng = np.random.default_rng(7)
     a = jnp.asarray(rng.integers(1, 2 ** 31, size=n, dtype=np.uint32))
     b = jnp.asarray(rng.integers(1, 2 ** 31, size=n, dtype=np.uint32))
-    chain(a, b).block_until_ready()
-    t = _timeit(lambda: chain(a, b).block_until_ready(), reps)
-    ops = 2 * k_rounds * n          # one mul + one add per round per elem
+    np.asarray(chain(a, b, 2))
+    rtt = measure_rtt()
+    k1, k2 = 8, 8 + max(64, k_rounds // 8)
+    t1 = _timeit(lambda: np.asarray(chain(a, b, k1)), reps)
+    t2 = _timeit(lambda: np.asarray(chain(a, b, k2)), reps)
+    t = max((t2 - t1) / (k2 - k1), 1e-9)     # seconds per 8-round body
+    ops = 2 * 8 * n                 # one mul + one add per round per elem
     return {
         "section": "u32_peak",
         "backend": jax.default_backend(),
-        "elements": n, "rounds": k_rounds,
+        "elements": n, "rounds_per_body": 8,
         "seconds": round(t, 6),
+        "rtt_seconds": round(rtt, 6),
         "u32_ops_per_s": round(ops / t, 1),
     }
 
@@ -103,26 +124,55 @@ def butterfly_op_cost() -> dict:
     }
 
 
+def device_ntt_seconds(vals, reps: int):
+    """(device seconds per transform, single-dispatch seconds, (k1, k2)).
+
+    Uses a dynamic-trip-count fori_loop chain — ONE compile, any k — and
+    the two-point slope (t(k2) - t(k1)) / (k2 - k1), which cancels the
+    dispatch round trip entirely (tunnel RTT jitter is tens of ms —
+    bigger than small-n device work, so absolute single-dispatch times
+    are unusable for throughput)."""
+    import jax
+
+    from ..ops import ntt
+
+    @jax.jit
+    def chained(x, k):
+        out = jax.lax.fori_loop(0, k, lambda i, v: ntt.ntt(v), x)
+        return out[:, :1]
+
+    np.asarray(chained(vals, 2))
+    t1 = _timeit(lambda: ntt.ntt(vals).block_until_ready(), reps)
+    k1 = 8
+    t_k1 = _timeit(lambda: np.asarray(chained(vals, k1)), reps)
+    est = max((t_k1 / k1) / 4, 2e-6)     # rough per-transform floor
+    k2 = k1 + int(min(4096, max(64, 0.5 / est)))
+    t_k2 = _timeit(lambda: np.asarray(chained(vals, k2)), reps)
+    t = max((t_k2 - t_k1) / (k2 - k1), 1e-9)
+    return t, t1, (k1, k2)
+
+
 def ntt_utilization(log2_n: int, reps: int, peak_ops: float,
                     ops_per_bfly: Optional[float]) -> dict:
     """Measured butterflies/s vs the derived speed-of-light ceiling."""
     import jax
 
-    from ..ops import f128, ntt
+    from ..ops import f128
 
     n = 1 << log2_n
     rng = np.random.default_rng(11)
     vals = f128.from_ints(np.asarray(
         rng.integers(0, 2 ** 62, size=n), dtype=object))
-    ntt.ntt(vals).block_until_ready()
-    t = _timeit(lambda: ntt.ntt(vals).block_until_ready(), reps)
+    t, t1, (k1, k2) = device_ntt_seconds(vals, reps)
     bfly = (n // 2) * log2_n
     rate = bfly / t
     out = {
         "section": "ntt_utilization",
         "backend": jax.default_backend(),
         "log2_n": log2_n,
+        "chain": [k1, k2],
         "seconds": round(t, 6),
+        "dispatch_seconds": round(t1, 6),
         "butterflies_per_s": round(rate, 1),
     }
     if ops_per_bfly and peak_ops:

@@ -91,7 +91,7 @@ def _train_all_devices(devices: List[EdgeDevice], bs: int,
     total_proof_size)."""
     from .models.training import build_traces_stacked, fetch_boundaries
     from .ops import f128
-    from .prover.batch import prove_many
+    from .prover.batch import prove_many_chunked as prove_many
 
     provers, indices = [], []
     for i, dev in enumerate(devices):
@@ -152,7 +152,7 @@ def run_proof_pipeline(devices: List[EdgeDevice], bs: int,
 
     from .models.training import build_traces_stacked, fetch_boundaries
     from .ops import f128
-    from .prover.batch import prove_many
+    from .prover.batch import prove_many_chunked as prove_many
 
     provers, indices = [], []
     for i, dev in enumerate(devices):

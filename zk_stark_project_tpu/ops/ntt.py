@@ -209,6 +209,35 @@ def _offset_powers(log2_n: int, offset: int, inverse: bool) -> jnp.ndarray:
         return np.asarray(jax.block_until_ready(powers[:, :n]))
 
 
+#: above this domain size, offset-power tables are built IN-GRAPH (a
+#: (8, 2^24) host table embedded as an HLO constant is 512 MB — it blows
+#: the remote-compile request limit and bloats every executable; the
+#: doubling build costs ~n muls, one extra NTT stage)
+_TABLE_CONST_MAX_LOG2 = 18
+
+
+def _offset_powers_traced(log2_n: int, offset: int,
+                          inverse: bool) -> jnp.ndarray:
+    """(8, n) table of offset^0..offset^(n-1) built inside the current
+    trace by repeated doubling — only log2_n small (8, 1) constants enter
+    the graph, so big-domain executables stay compile-service-sized."""
+    n = 1 << log2_n
+    o = ref.inv(offset) if inverse else (offset % P)
+    powers = f128.ones((1,))
+    for k in range(log2_n):
+        scale = f128.from_ints([pow(o, 1 << k, P)])  # tiny (8, 1) constant
+        powers = jnp.concatenate(
+            [powers, f128.mul(powers, scale)], axis=1)
+    return powers[:, :n]
+
+
+def offset_powers_any(log2_n: int, offset: int, inverse: bool) -> jnp.ndarray:
+    """Offset-power table, constant for small domains, in-graph for big."""
+    if log2_n <= _TABLE_CONST_MAX_LOG2:
+        return jnp.asarray(_offset_powers(log2_n, offset, inverse))
+    return _offset_powers_traced(log2_n, offset, inverse)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def coset_evaluate(coeffs: jnp.ndarray, offset: int, blowup: int = 1) -> jnp.ndarray:
     """Evaluate polys over the coset offset*<w_N> with N = blowup * n.
@@ -223,7 +252,7 @@ def coset_evaluate(coeffs: jnp.ndarray, offset: int, blowup: int = 1) -> jnp.nda
         pad = jnp.zeros(coeffs.shape[:-1] + (N - n,), dtype=jnp.uint32)
         coeffs = jnp.concatenate([coeffs, pad], axis=-1)
     logN = N.bit_length() - 1
-    po = _offset_powers(logN, offset, False)  # (8, N)
+    po = offset_powers_any(logN, offset, False)  # (8, N)
     scaled = f128.mul(coeffs, po.reshape((8,) + (1,) * (coeffs.ndim - 2) + (N,)))
     return ntt(scaled)
 
@@ -235,7 +264,7 @@ def coset_interpolate(evals: jnp.ndarray, offset: int) -> jnp.ndarray:
     n = evals.shape[-1]
     logn = n.bit_length() - 1
     coeffs = ntt(evals, inverse=True)
-    po_inv = _offset_powers(logn, offset, True)
+    po_inv = offset_powers_any(logn, offset, True)
     return f128.mul(coeffs, po_inv.reshape((8,) + (1,) * (coeffs.ndim - 2) + (n,)))
 
 

@@ -31,6 +31,11 @@ Collectives per proof: 1 all-to-all (phase 1) + 1 all-to-all + 1 ppermute +
 analog is winterfell's intra-host rayon `concurrent` feature
 (`Cargo.toml:11`); there is no reference multi-device equivalent.
 
+Every sharded phase executable is built ONCE per (mesh, shape, options)
+through lru-cached factories wrapped in `jax.jit` — repeat proofs hit the
+jit cache instead of re-tracing the shard_map graphs (re-tracing dominated
+wall-clock before this).
+
 `prove_tp` plugs `TpPhases` into the standard phase-fused prover
 (`prover/batch.py`), so the transcript is BIT-IDENTICAL to the single-chip
 `prove()` — tested in `tests/test_tp_prove.py` on the virtual CPU mesh and
@@ -41,6 +46,7 @@ implementations (never an error, never a transcript change).
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -79,19 +85,33 @@ def _leaves_fri_t(evals_t: jnp.ndarray) -> jnp.ndarray:
     return b3.hash_words(words.reshape(c, m, factor * 4), factor * 16)
 
 
-def tp_trace_lde_commit(stacked: jnp.ndarray, blowup: int, offset: int,
-                        mesh: Mesh, axis_name: str = "tp"):
-    """Sharded drop-in for `phases.trace_lde_commit` (see TpPhases for the
-    stateful variant that also keeps the domain-sharded rows resident).
+# ---------------------------------------------------------------------------
+# Cached sharded-phase executables (one trace/compile per shape+mesh)
+# ---------------------------------------------------------------------------
 
-    stacked: (8, C, W, n) with W divisible by the mesh axis size.  Returns
-    (trace_polys, lde, levels) with polys/lde sharded on the column axis,
-    the bottom Merkle levels sharded on the domain axis, and the top
-    levels replicated.
-    """
-    out = _tp_lde_commit_full(stacked, blowup, offset, mesh, axis_name)
-    polys, lde, _rows, levels = out
-    return polys, lde, levels
+
+@functools.lru_cache(maxsize=None)
+def _lde_commit_fn(mesh: Mesh, ax: str, blowup: int, offset: int,
+                   big_n: int, d: int):
+    def kernel(block):
+        # block: (8, C, W/D, n) — this device's columns
+        polys_l = ntt.interpolate(block)
+        lde_l = ntt.coset_evaluate(polys_l, offset, blowup)  # (8,C,W/D,N)
+        # re-shard columns -> domain points (THE collective of this phase)
+        rows = jax.lax.all_to_all(lde_l, ax, split_axis=3,
+                                  concat_axis=2, tiled=True)  # (8,C,W,N/D)
+        leaves = phases._leaves_rows(rows)                    # (C, N/D, 8)
+        levels_local = phases._merkle_levels(leaves)  # ... (C, 1, 8)
+        return (polys_l, lde_l, rows) + levels_local
+
+    n_local_levels = (big_n // d).bit_length()  # incl. the (C,1,8) top
+    col_spec = P(None, None, ax, None)
+    row_spec = P(None, None, None, ax)
+    lvl_spec = P(None, ax, None)
+    return jax.jit(jax.shard_map(
+        kernel, mesh=mesh, in_specs=(col_spec,),
+        out_specs=(col_spec, col_spec, row_spec) +
+        (lvl_spec,) * n_local_levels))
 
 
 def _tp_lde_commit_full(stacked: jnp.ndarray, blowup: int, offset: int,
@@ -102,30 +122,198 @@ def _tp_lde_commit_full(stacked: jnp.ndarray, blowup: int, offset: int,
     assert w % d == 0, f"trace width {w} not divisible by mesh axis {d}"
     assert big_n % d == 0 and (big_n // d) & (big_n // d - 1) == 0, \
         "per-device domain chunk must be a power of two"
-
-    def kernel(block):
-        # block: (8, C, W/D, n) — this device's columns
-        polys_l = ntt.interpolate(block)
-        lde_l = ntt.coset_evaluate(polys_l, offset, blowup)  # (8,C,W/D,N)
-        # re-shard columns -> domain points (THE collective of this phase)
-        rows = jax.lax.all_to_all(lde_l, axis_name, split_axis=3,
-                                  concat_axis=2, tiled=True)  # (8,C,W,N/D)
-        leaves = phases._leaves_rows(rows)                    # (C, N/D, 8)
-        levels_local = phases._merkle_levels(leaves)  # ... (C, 1, 8)
-        return (polys_l, lde_l, rows) + levels_local
-
-    n_local_levels = (big_n // d).bit_length()  # incl. the (C,1,8) top
-    col_spec = P(None, None, axis_name, None)
-    row_spec = P(None, None, None, axis_name)
-    lvl_spec = P(None, axis_name, None)
-    f = jax.shard_map(
-        kernel, mesh=mesh, in_specs=(col_spec,),
-        out_specs=(col_spec, col_spec, row_spec) +
-        (lvl_spec,) * n_local_levels)
-    out = f(stacked)
+    out = _lde_commit_fn(mesh, axis_name, blowup, offset, big_n, d)(stacked)
     polys, lde, rows = out[0], out[1], out[2]
     levels = _finish_levels(out[3:])
     return polys, lde, rows, levels
+
+
+def tp_trace_lde_commit(stacked: jnp.ndarray, blowup: int, offset: int,
+                        mesh: Mesh, axis_name: str = "tp"):
+    """Sharded drop-in for `phases.trace_lde_commit` (see TpPhases for the
+    stateful variant that also keeps the domain-sharded rows resident).
+
+    stacked: (8, C, W, n) with W divisible by the mesh axis size.  Returns
+    (trace_polys, lde, levels) with polys/lde sharded on the column axis,
+    the bottom Merkle levels sharded on the domain axis, and the top
+    levels replicated.
+    """
+    polys, lde, _rows, levels = _tp_lde_commit_full(stacked, blowup, offset,
+                                                    mesh, axis_name)
+    return polys, lde, levels
+
+
+@functools.lru_cache(maxsize=None)
+def _composition_fn(mesh: Mesh, ax: str, kind: str, n: int, ce_blowup: int,
+                    m: int, offset: int, step_groups, blowup: int, c: int,
+                    tparam_meta):
+    d = mesh.shape[ax]
+    d_ce = n * ce_blowup
+    big_n = n * blowup
+    g = ref.root_of_unity(n.bit_length() - 1)
+    g_last_np = phases._ints_to_limbs_np([pow(g, n - 1, ref.P)])
+
+    def kernel(polys_block, tparams_k, alphas_t_k, group_alphas_k,
+               group_vals_k, domain_l, zer_inv_l, lin_inv_l):
+        # polys_block: (8, C, W/D, n) — CE evaluate + reshard to domain
+        ce_l = ntt.coset_evaluate(polys_block, offset, ce_blowup)
+        ce = jax.lax.all_to_all(ce_l, ax, split_axis=3, concat_axis=2,
+                                tiled=True)       # (8, C, W, Dce/D)
+        if kind == "zero":
+            total = f128.zeros((c, d_ce // d))
+        else:
+            # next-row frame: local shift + ONE ppermute for the seam
+            # (global jnp.roll(ce, -ce_blowup) equivalent)
+            lead = ce[..., :ce_blowup]
+            recv = jax.lax.ppermute(
+                lead, ax, [((i + 1) % d, i) for i in range(d)])
+            nxt = jnp.concatenate([ce[..., ce_blowup:], recv], axis=-1)
+            tvals = phases.TRANSITION_KERNELS[kind](ce, nxt, tparams_k)
+            t_comb = poly.combine_axis(tvals, alphas_t_k, 2)
+            g_last = jnp.asarray(g_last_np).reshape(8, 1, 1)
+            total = f128.mul(
+                f128.mul(t_comb, zer_inv_l[:, None, :]),
+                f128.sub(domain_l[:, None, :], g_last))
+        for si, (s, cols) in enumerate(step_groups):
+            diff = f128.sub(ce[:, :, list(cols), :],
+                            group_vals_k[si][..., None])
+            num = poly.combine_axis(diff, group_alphas_k[si], 2)
+            total = f128.add(total, f128.mul(num, lin_inv_l[:, None, si]))
+        # gather the ONE composition column (O(Dce) — tiny vs phase
+        # work) and re-expand replicated, then commit domain-sharded
+        total_full = jax.lax.all_gather(total, ax, axis=2, tiled=True)
+        coeffs_full = ntt.coset_interpolate(total_full, offset)
+        comp_cols = coeffs_full.reshape(8, c, ce_blowup, n)[:, :, :m]
+        comp_lde = ntt.coset_evaluate(comp_cols, offset, blowup)
+        idx = jax.lax.axis_index(ax)
+        chunk = jax.lax.dynamic_slice_in_dim(
+            comp_lde, idx * (big_n // d), big_n // d, axis=3)
+        leaves = phases._leaves_rows(chunk)
+        levels_local = phases._merkle_levels(leaves)
+        return (comp_cols, comp_lde) + levels_local
+
+    n_local_levels = (big_n // d).bit_length()
+    col_spec = P(None, None, ax, None)
+    rep4 = P(None, None, None, None)
+    lvl_spec = P(None, ax, None)
+    dom_spec = P(None, ax)
+    tp_specs = {key: P(*([None] * nd)) for (key, nd) in tparam_meta}
+    n_groups = len(step_groups)
+    ga_specs = tuple(P(None, None, None) for _ in range(n_groups))
+    gv_specs = tuple(P(None, None, None) for _ in range(n_groups))
+    return jax.jit(jax.shard_map(
+        kernel, mesh=mesh,
+        in_specs=(col_spec, tp_specs, P(None, None, None), ga_specs,
+                  gv_specs, dom_spec, dom_spec, P(None, None, ax)),
+        out_specs=(rep4, rep4) + (lvl_spec,) * n_local_levels,
+        check_vma=False))
+
+
+@functools.lru_cache(maxsize=None)
+def _deep_fn(mesh: Mesh, ax: str, log2_big: int, offset: int, factor: int,
+             c: int):
+    d = mesh.shape[ax]
+    big_n = 1 << log2_big
+    m = big_n // factor
+
+    def kernel(rows, comp_full, g_cur_k, g_nxt_k, g_cmp_k, z_k, zg_k,
+               ac_k, b_k, domain_l):
+        # rows: (8, C, W, N/D); comp_full: (8, C, m_cols, N) replicated
+        idx = jax.lax.axis_index(ax)
+        comp_chunk = jax.lax.dynamic_slice_in_dim(
+            comp_full, idx * (big_n // d), big_n // d, axis=3)
+        big_a = f128.add(poly.combine_axis(rows, g_cur_k, 2),
+                         poly.combine_axis(comp_chunk, g_cmp_k, 2))
+        big_b = poly.combine_axis(rows, g_nxt_k, 2)
+        denoms = jnp.stack(
+            [f128.sub(domain_l[:, None, :], z_k[:, :, None]),
+             f128.sub(domain_l[:, None, :], zg_k[:, :, None])], axis=1)
+        dinv = f128.inv(denoms)
+        term1 = f128.mul(f128.sub(big_a, ac_k[:, :, None]), dinv[:, 0])
+        term2 = f128.mul(f128.sub(big_b, b_k[:, :, None]), dinv[:, 1])
+        deep_l = f128.add(term1, term2)          # (8, C, N/D) k-chunk
+        # tilt into transposed-coset layout: (8, C, F, m/D)
+        t_l = deep_l.reshape(8, c, factor // d, m)
+        t = jax.lax.all_to_all(t_l, ax, split_axis=3, concat_axis=2,
+                               tiled=True)
+        leaves = _leaves_fri_t(t)                # (C, m/D, 8)
+        levels_local = phases._merkle_levels(leaves)
+        return (deep_l, t) + levels_local
+
+    n_local_levels = (m // d).bit_length()
+    row_spec = P(None, None, None, ax)
+    rep2 = P(None, None)
+    return jax.jit(jax.shard_map(
+        kernel, mesh=mesh,
+        in_specs=(row_spec, P(None, None, None, None),
+                  P(None, None, None), P(None, None, None),
+                  P(None, None, None), rep2, rep2, rep2, rep2,
+                  P(None, ax)),
+        out_specs=(P(None, None, ax), row_spec) +
+        (P(None, ax, None),) * n_local_levels,
+        check_vma=False))
+
+
+def _fold_local(t, betas, log2_n, factor, x_inv_l):
+    """Local fold in the tilted layout: t (8, C, F, mloc) + per-proof
+    betas -> (8, C, mloc).  Mirrors `phases._fold` exactly."""
+    v = jnp.moveaxis(t, 2, 3)                     # (8, C, mloc, F)
+    a = ntt.ntt(v, inverse=True)
+    base = f128.mul(x_inv_l[:, None, :], betas[:, :, None])
+    powers = poly.powers_of_b(
+        base, 1 << max(0, (factor - 1).bit_length()))
+    powers = powers[..., :factor]
+    return poly.tree_sum(f128.mul(a, powers))
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_commit_fn(mesh: Mesh, ax: str, log2_n: int, offset: int,
+                    factor: int, c: int):
+    d = mesh.shape[ax]
+    n = 1 << log2_n
+    m = n // factor
+    m2 = m // factor
+
+    def kernel(t, betas_k, x_inv_l):
+        folded_l = _fold_local(t, betas_k, log2_n, factor,
+                               x_inv_l)           # (8, C, m/D) j-chunk
+        # re-tilt for the next layer: (8, C, F, m2/D)
+        t2_l = folded_l.reshape(8, c, factor // d, m2)
+        t2 = jax.lax.all_to_all(t2_l, ax, split_axis=3, concat_axis=2,
+                                tiled=True)
+        leaves = _leaves_fri_t(t2)
+        levels_local = phases._merkle_levels(leaves)
+        return (folded_l, t2) + levels_local
+
+    n_local_levels = (m2 // d).bit_length()
+    tilt_spec = P(None, None, None, ax)
+    return jax.jit(jax.shard_map(
+        kernel, mesh=mesh,
+        in_specs=(tilt_spec, P(None, None), P(None, ax)),
+        out_specs=(P(None, None, ax), tilt_spec) +
+        (P(None, ax, None),) * n_local_levels,
+        check_vma=False))
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_final_fn(mesh: Mesh, ax: str, log2_n: int, offset: int,
+                   factor: int):
+    next_offset = pow(offset, factor, ref.P)
+
+    def kernel(t, betas_k, x_inv_l):
+        folded_l = _fold_local(t, betas_k, log2_n, factor, x_inv_l)
+        folded = jax.lax.all_gather(folded_l, ax, axis=2, tiled=True)
+        return ntt.coset_interpolate(folded, next_offset)
+
+    return jax.jit(jax.shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(None, None, None, ax), P(None, None), P(None, ax)),
+        out_specs=P(None, None, None), check_vma=False))
+
+
+# ---------------------------------------------------------------------------
+# TpPhases — the prove_many `impl` namespace
+# ---------------------------------------------------------------------------
 
 
 class TpPhases:
@@ -165,7 +353,7 @@ class TpPhases:
     def composition_commit(self, kind, n, ce_blowup, m, offset, step_groups,
                            blowup, trace_polys, tparams, alphas_t,
                            group_alphas, group_vals):
-        d, ax = self.d, self.axis
+        d = self.d
         c, w = trace_polys.shape[1], trace_polys.shape[2]
         d_ce = n * ce_blowup
         big_n = n * blowup
@@ -176,80 +364,26 @@ class TpPhases:
                 trace_polys, tparams, alphas_t, group_alphas, group_vals)
 
         log2_dce = d_ce.bit_length() - 1
-        g = ref.root_of_unity(n.bit_length() - 1)
         domain_t = jnp.asarray(phases._domain_np(log2_dce, offset))
         zer_inv_t = jnp.asarray(
             phases._zerofier_inv_np(n, ce_blowup, offset))
         steps = tuple(s for (s, _) in step_groups)
         lin_inv_t = jnp.asarray(
             phases._lin_inv_np(n, ce_blowup, offset, steps))
-        g_last_np = phases._ints_to_limbs_np([pow(g, n - 1, ref.P)])
-
-        def kernel(polys_block, tparams_k, alphas_t_k, group_alphas_k,
-                   group_vals_k, domain_l, zer_inv_l, lin_inv_l):
-            # polys_block: (8, C, W/D, n) — CE evaluate + reshard to domain
-            ce_l = ntt.coset_evaluate(polys_block, offset, ce_blowup)
-            ce = jax.lax.all_to_all(ce_l, ax, split_axis=3, concat_axis=2,
-                                    tiled=True)       # (8, C, W, Dce/D)
-            if kind == "zero":
-                total = f128.zeros((c, d_ce // d))
-            else:
-                # next-row frame: local shift + ONE ppermute for the seam
-                # (global jnp.roll(ce, -ce_blowup) equivalent)
-                lead = ce[..., :ce_blowup]
-                recv = jax.lax.ppermute(
-                    lead, ax, [((i + 1) % d, i) for i in range(d)])
-                nxt = jnp.concatenate([ce[..., ce_blowup:], recv], axis=-1)
-                tvals = phases.TRANSITION_KERNELS[kind](ce, nxt, tparams_k)
-                t_comb = poly.combine_axis(tvals, alphas_t_k, 2)
-                g_last = jnp.asarray(g_last_np).reshape(8, 1, 1)
-                total = f128.mul(
-                    f128.mul(t_comb, zer_inv_l[:, None, :]),
-                    f128.sub(domain_l[:, None, :], g_last))
-            for si, (s, cols) in enumerate(step_groups):
-                diff = f128.sub(ce[:, :, list(cols), :],
-                                group_vals_k[si][..., None])
-                num = poly.combine_axis(diff, group_alphas_k[si], 2)
-                total = f128.add(total, f128.mul(num, lin_inv_l[:, None, si]))
-            # gather the ONE composition column (O(Dce) — tiny vs phase
-            # work) and re-expand replicated, then commit domain-sharded
-            total_full = jax.lax.all_gather(total, ax, axis=2, tiled=True)
-            coeffs_full = ntt.coset_interpolate(total_full, offset)
-            comp_cols = coeffs_full.reshape(8, c, ce_blowup, n)[:, :, :m]
-            comp_lde = ntt.coset_evaluate(comp_cols, offset, blowup)
-            idx = jax.lax.axis_index(ax)
-            chunk = jax.lax.dynamic_slice_in_dim(
-                comp_lde, idx * (big_n // d), big_n // d, axis=3)
-            leaves = phases._leaves_rows(chunk)
-            levels_local = phases._merkle_levels(leaves)
-            return (comp_cols, comp_lde) + levels_local
-
-        n_local_levels = (big_n // d).bit_length()
-        col_spec = P(None, None, ax, None)
-        rep4 = P(None, None, None, None)
-        lvl_spec = P(None, ax, None)
-        dom_spec = P(None, ax)
-        tp_specs = jax.tree.map(lambda x: P(*([None] * x.ndim)), tparams)
-        ga_specs = tuple(P(None, None, None) for _ in group_alphas)
-        gv_specs = tuple(P(None, None, None) for _ in group_vals)
-        fn = jax.shard_map(
-            kernel, mesh=self.mesh,
-            in_specs=(col_spec, tp_specs, P(None, None, None), ga_specs,
-                      gv_specs, dom_spec, dom_spec, P(None, None, ax)),
-            out_specs=(rep4, rep4) + (lvl_spec,) * n_local_levels,
-            check_vma=False)
+        tparam_meta = tuple(sorted((k, v.ndim) for k, v in tparams.items()))
+        fn = _composition_fn(self.mesh, self.axis, kind, n, ce_blowup, m,
+                             offset, step_groups, blowup, c, tparam_meta)
         out = fn(trace_polys, tparams, alphas_t, group_alphas, group_vals,
                  domain_t, zer_inv_t, lin_inv_t)
         comp_cols, comp_lde = out[0], out[1]
         levels = _finish_levels(out[2:])
-        self._comp_lde = comp_lde
         return comp_cols, comp_lde, levels
 
     # -- phase 4: DEEP + FRI layer 0 --------------------------------------
 
     def deep_fri0(self, log2_big, offset, factor, lde, comp_lde, g_cur,
                   g_nxt, g_cmp, z_arr, zg_arr, ac_arr, b_arr):
-        d, ax = self.d, self.axis
+        d = self.d
         big_n = 1 << log2_big
         m = big_n // factor
         if (self._rows is None or big_n % d or factor % d or m % d
@@ -260,43 +394,7 @@ class TpPhases:
                                     ac_arr, b_arr)
         c = lde.shape[1]
         domain_t = jnp.asarray(phases._domain_np(log2_big, offset))
-
-        def kernel(rows, comp_full, g_cur_k, g_nxt_k, g_cmp_k, z_k, zg_k,
-                   ac_k, b_k, domain_l):
-            # rows: (8, C, W, N/D); comp_full: (8, C, m_cols, N) replicated
-            idx = jax.lax.axis_index(ax)
-            comp_chunk = jax.lax.dynamic_slice_in_dim(
-                comp_full, idx * (big_n // d), big_n // d, axis=3)
-            big_a = f128.add(poly.combine_axis(rows, g_cur_k, 2),
-                             poly.combine_axis(comp_chunk, g_cmp_k, 2))
-            big_b = poly.combine_axis(rows, g_nxt_k, 2)
-            denoms = jnp.stack(
-                [f128.sub(domain_l[:, None, :], z_k[:, :, None]),
-                 f128.sub(domain_l[:, None, :], zg_k[:, :, None])], axis=1)
-            dinv = f128.inv(denoms)
-            term1 = f128.mul(f128.sub(big_a, ac_k[:, :, None]), dinv[:, 0])
-            term2 = f128.mul(f128.sub(big_b, b_k[:, :, None]), dinv[:, 1])
-            deep_l = f128.add(term1, term2)          # (8, C, N/D) k-chunk
-            # tilt into transposed-coset layout: (8, C, F, m/D)
-            t_l = deep_l.reshape(8, c, factor // d, m)
-            t = jax.lax.all_to_all(t_l, ax, split_axis=3, concat_axis=2,
-                                   tiled=True)
-            leaves = _leaves_fri_t(t)                # (C, m/D, 8)
-            levels_local = phases._merkle_levels(leaves)
-            return (deep_l, t) + levels_local
-
-        n_local_levels = (m // d).bit_length()
-        row_spec = P(None, None, None, ax)
-        rep2 = P(None, None)
-        fn = jax.shard_map(
-            kernel, mesh=self.mesh,
-            in_specs=(row_spec, P(None, None, None, None),
-                      P(None, None, None), P(None, None, None),
-                      P(None, None, None), rep2, rep2, rep2, rep2,
-                      P(None, ax)),
-            out_specs=(P(None, None, ax), row_spec) +
-            (P(None, ax, None),) * n_local_levels,
-            check_vma=False)
+        fn = _deep_fn(self.mesh, self.axis, log2_big, offset, factor, c)
         out = fn(self._rows, comp_lde, g_cur, g_nxt, g_cmp, z_arr, zg_arr,
                  ac_arr, b_arr, domain_t)
         deep = out[0].reshape(8, c, big_n)   # natural order, k-sharded
@@ -306,19 +404,8 @@ class TpPhases:
 
     # -- phase 5: FRI folds ------------------------------------------------
 
-    def _fold_local(self, t, betas, offset, log2_n, factor, x_inv_l):
-        """Local fold in the tilted layout: t (8, C, F, mloc) + per-proof
-        betas -> (8, C, mloc).  Mirrors `phases._fold` exactly."""
-        v = jnp.moveaxis(t, 2, 3)                     # (8, C, mloc, F)
-        a = ntt.ntt(v, inverse=True)
-        base = f128.mul(x_inv_l[:, None, :], betas[:, :, None])
-        powers = poly.powers_of_b(
-            base, 1 << max(0, (factor - 1).bit_length()))
-        powers = powers[..., :factor]
-        return poly.tree_sum(f128.mul(a, powers))
-
     def fri_fold_commit(self, log2_n, offset, factor, evals, betas):
-        d, ax = self.d, self.axis
+        d = self.d
         n = 1 << log2_n
         m = n // factor           # this layer's coset count
         m2 = m // factor          # next layer's coset count
@@ -328,26 +415,7 @@ class TpPhases:
                                           betas)
         c = self._fri_t.shape[1]
         x_inv_t = jnp.asarray(phases._fri_x_inv_np(log2_n, factor, offset))
-
-        def kernel(t, betas_k, x_inv_l):
-            folded_l = self._fold_local(t, betas_k, offset, log2_n, factor,
-                                        x_inv_l)      # (8, C, m/D) j-chunk
-            # re-tilt for the next layer: (8, C, F, m2/D)
-            t2_l = folded_l.reshape(8, c, factor // d, m2)
-            t2 = jax.lax.all_to_all(t2_l, ax, split_axis=3, concat_axis=2,
-                                    tiled=True)
-            leaves = _leaves_fri_t(t2)
-            levels_local = phases._merkle_levels(leaves)
-            return (folded_l, t2) + levels_local
-
-        n_local_levels = (m2 // d).bit_length()
-        tilt_spec = P(None, None, None, ax)
-        fn = jax.shard_map(
-            kernel, mesh=self.mesh,
-            in_specs=(tilt_spec, P(None, None), P(None, ax)),
-            out_specs=(P(None, None, ax), tilt_spec) +
-            (P(None, ax, None),) * n_local_levels,
-            check_vma=False)
+        fn = _fold_commit_fn(self.mesh, self.axis, log2_n, offset, factor, c)
         out = fn(self._fri_t, betas, x_inv_t)
         folded = out[0].reshape(8, c, m)     # natural order for gathers
         self._fri_t = out[1]
@@ -355,25 +423,14 @@ class TpPhases:
         return folded, levels
 
     def fri_fold_final(self, log2_n, offset, factor, evals, betas):
-        d, ax = self.d, self.axis
+        d = self.d
         n = 1 << log2_n
         m = n // factor
         if self._fri_t is None or m % d:
             return phases.fri_fold_final(log2_n, offset, factor, evals,
                                          betas)
         x_inv_t = jnp.asarray(phases._fri_x_inv_np(log2_n, factor, offset))
-        next_offset = pow(offset, factor, ref.P)
-
-        def kernel(t, betas_k, x_inv_l):
-            folded_l = self._fold_local(t, betas_k, offset, log2_n, factor,
-                                        x_inv_l)
-            folded = jax.lax.all_gather(folded_l, ax, axis=2, tiled=True)
-            return ntt.coset_interpolate(folded, next_offset)
-
-        fn = jax.shard_map(
-            kernel, mesh=self.mesh,
-            in_specs=(P(None, None, None, ax), P(None, None), P(None, ax)),
-            out_specs=P(None, None, None), check_vma=False)
+        fn = _fold_final_fn(self.mesh, self.axis, log2_n, offset, factor)
         return fn(self._fri_t, betas, x_inv_t)
 
 

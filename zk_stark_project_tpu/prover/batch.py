@@ -163,6 +163,46 @@ def _roots_of(levels) -> List[bytes]:
     return [r.astype("<u4").tobytes() for r in roots]
 
 
+def suggest_client_chunk(trace_width: int, trace_length: int,
+                         blowup: int, budget_bytes: int = None) -> int:
+    """How many same-shaped statements fit one batched prove_many call.
+
+    The batch holds each client's LDE ((8, C, W, N) u32 = 32*W*N bytes per
+    client), CE evaluations, polys and Merkle levels live simultaneously;
+    at bs>=20 (4096-row traces) the full 8-client fleet exceeds v5e HBM.
+    Defaults to a ~5 GB working budget (16 GB HBM minus transients and
+    XLA slack); override with ZKSTARK_BATCH_BUDGET_GB."""
+    import os
+
+    if budget_bytes is None:
+        budget_bytes = int(float(
+            os.environ.get("ZKSTARK_BATCH_BUDGET_GB", "6")) * 1e9)
+    n_lde = trace_length * blowup
+    # ~6x the LDE footprint covers the peak liveness actually observed in
+    # the fused executable (LDE + CE evals + leaf-word transposes + blake3
+    # block padding + DEEP, several held simultaneously by XLA's buffer
+    # assignment): a 5 GB budget at 32*W*N/client OOM'd a 16 GB chip at
+    # bs=20 (W=240, N=65536).
+    per_client = 6 * 32 * trace_width * n_lde
+    return max(1, budget_bytes // max(per_client, 1))
+
+
+def prove_many_chunked(airs: Sequence[Air], traces: Sequence) -> List[Proof]:
+    """prove_many in memory-bounded client chunks (per-proof transcripts
+    are chunking-invariant, `tests/test_batch_prove.py`)."""
+    c = len(airs)
+    if c == 0:
+        return []
+    chunk = suggest_client_chunk(airs[0].trace_width, airs[0].trace_length,
+                                 airs[0].options.blowup_factor)
+    if chunk >= c:
+        return prove_many(airs, traces)
+    out: List[Proof] = []
+    for i in range(0, c, chunk):
+        out.extend(prove_many(airs[i:i + chunk], traces[i:i + chunk]))
+    return out
+
+
 def prove_many(airs: Sequence[Air], traces: Sequence,
                sharding=None, impl=None) -> List[Proof]:
     """Prove C same-shaped statements with batched, phase-fused device work.
@@ -206,6 +246,16 @@ def prove_many(airs: Sequence[Air], traces: Sequence,
     pat0 = [(a.col, a.step) for a in air0.get_assertions()]
     for air in airs[1:]:
         assert [(a.col, a.step) for a in air.get_assertions()] == pat0
+
+    # Device-transcript fast path: every phase + the Fiat–Shamir coin in
+    # ONE executable, 2 dispatches total (prover/fused.py) — bit-identical
+    # transcripts.  Used on the fused backend unless opted out; the dp-
+    # sharded and tp-sharded paths keep the per-phase structure.
+    import os
+    if (sharding is None and impl is phases and phases.use_fused()
+            and os.environ.get("ZKSTARK_DEVICE_TRANSCRIPT") != "0"):
+        from .fused import prove_many_device
+        return prove_many_device(airs, traces)
 
     big_n = air0.lde_domain_size
     log2_big = big_n.bit_length() - 1
