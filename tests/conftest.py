@@ -28,7 +28,7 @@ jax.config.update("jax_platforms", "cpu")
 # from a different host CPU segfault — see zk_stark_project_tpu/__init__.py)
 import zk_stark_project_tpu  # noqa: E402,F401  (applies the cache config)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import random
 
@@ -49,3 +49,19 @@ def np_rng():
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running protocol-level test")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop live compiled-executable references after each test module.
+
+    A full single-process suite run accumulates hundreds of loaded XLA-CPU
+    executables; past a threshold the XLA CPU runtime segfaults (observed
+    repeatedly at the same cumulative point, in whichever compile or cache
+    deserialization happened to run next — individual files and either
+    half of the suite always pass).  Clearing jit caches per module keeps
+    the live count bounded; re-used shapes reload from the persistent
+    compile cache in milliseconds.
+    """
+    yield
+    jax.clear_caches()

@@ -7,6 +7,7 @@ plus verification of every batched proof.
 """
 
 import numpy as np
+import pytest
 
 from zk_stark_project_tpu.models import ml_math, training
 from zk_stark_project_tpu.models.ml_math import AC, FE
@@ -35,6 +36,7 @@ def _make_provers(np_rng, count, batch_size=1, grinding=0):
     return provers
 
 
+@pytest.mark.slow
 def test_batched_equals_sequential(np_rng):
     provers = _make_provers(np_rng, 3)
     airs = [p.air() for p in provers]
@@ -49,6 +51,7 @@ def test_batched_equals_sequential(np_rng):
         assert bp.to_bytes() == sp.to_bytes()
 
 
+@pytest.mark.slow
 def test_batched_with_grinding(np_rng):
     provers = _make_provers(np_rng, 2, grinding=6)
     airs = [p.air() for p in provers]
@@ -62,6 +65,7 @@ def test_batched_with_grinding(np_rng):
         assert bp.to_bytes() == sp.to_bytes()
 
 
+@pytest.mark.slow
 def test_single_delegates(np_rng):
     (p,) = _make_provers(np_rng, 1)
     air, trace = p.air(), p.build_trace()

@@ -71,6 +71,7 @@ def test_trace_length_formula():
     assert training.trace_length_for(50) == 8192
 
 
+@pytest.mark.slow
 def test_prove_verify_roundtrip(np_rng):
     p = make_prover(np_rng, batch_size=1)
     trace = p.build_trace()
@@ -80,6 +81,7 @@ def test_prove_verify_roundtrip(np_rng):
     verify(air, Proof.from_bytes(proof.to_bytes()))
 
 
+@pytest.mark.slow
 def test_tampered_rejected(np_rng):
     p = make_prover(np_rng, batch_size=1)
     trace = p.build_trace()

@@ -38,6 +38,7 @@ def _agg_prover(np_rng, clients=8):
                                   f64_to_felt(float(clients)), rng=np_rng)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("d", [2, 4])
 def test_tp_prove_bit_identical_aggregation(np_rng, d):
     p = _agg_prover(np_rng)
@@ -49,6 +50,7 @@ def test_tp_prove_bit_identical_aggregation(np_rng, d):
     verify(air, tp)
 
 
+@pytest.mark.slow
 def test_tp_prove_training(np_rng):
     from zk_stark_project_tpu.models.training import TrainingUpdateProver
 
@@ -119,6 +121,7 @@ def test_tp_deep_phases_actually_shard(np_rng):
     verify(air, proof)
 
 
+@pytest.mark.slow
 def test_tp_fallback_when_mesh_does_not_divide(np_rng):
     """d=8 with fri_folding_factor=4 cannot tilt the FRI layout (factor %
     d != 0) — the per-phase fallback must kick in and the proof must stay

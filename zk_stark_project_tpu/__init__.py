@@ -59,7 +59,7 @@ def _enable_compile_cache() -> None:
                           os.environ.get("ZKSTARK_COMPILE_CACHE",
                                          os.path.normpath(default_dir)))
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # noqa: BLE001 - cache is an optimization only
         pass
 
