@@ -64,4 +64,42 @@ def _enable_compile_cache() -> None:
         pass
 
 
+def use_tpu_compile_cache() -> None:
+    """Re-point the persistent compile cache at the COMMITTED TPU dir.
+
+    CPU cache entries bake in the compiling host's vector ISA (loading one
+    on a different machine segfaults -- see `_enable_compile_cache`), so the
+    default dir is host-fingerprinted and gitignored.  TPU executables are
+    compiled for the *chip*, not the host, so they are host-portable: they
+    live in `.jax_cache-tpu/` which IS committed, and a fresh sandbox
+    starts warm instead of re-paying ~3.5 min of XLA/Mosaic compiles
+    (round-2 bench tail: 217.9 s cold).
+
+    Called automatically the first time a TPU hot path is selected
+    (`ops/f128._pallas_backend_default`); safe to call repeatedly.
+    """
+    import os
+
+    if (os.environ.get("ZKSTARK_NO_COMPILE_CACHE")
+            or os.environ.get("ZKSTARK_COMPILE_CACHE")):
+        return
+    try:
+        import jax
+
+        tpu_dir = os.path.normpath(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..",
+            ".jax_cache-tpu"))
+        if jax.config.jax_compilation_cache_dir == tpu_dir:
+            return
+        jax.config.update("jax_compilation_cache_dir", tpu_dir)
+        # jax initializes the persistent cache lazily ONCE; if a compile
+        # already happened under the fingerprinted dir, drop that handle so
+        # subsequent compiles read/write the TPU dir.
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()
+    except Exception:  # noqa: BLE001 - cache is an optimization only
+        pass
+
+
 _enable_compile_cache()

@@ -148,6 +148,16 @@ def _u64_masks_to_limbs(masks: np.ndarray) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _build_stacked_closed(lr_int: int, pr_int: int, n: int):
+    """Array-args-only jit closure over the static (bigint) params — the
+    calling convention `jax.export` artifacts need (`prover/aot.py`:
+    exported calls take every argument as a dynamic array input, and the
+    field-element statics exceed int64)."""
+    return jax.jit(lambda *arrs: _build_stacked_traces(
+        *arrs, lr_int, pr_int, n))
+
+
 @functools.partial(jax.jit, static_argnums=(7, 8, 9))
 def _build_stacked_traces(w0, ws0, b0, bs0, xb, yb, mask_limbs,
                           lr_int: int, pr_int: int, n: int):
@@ -222,8 +232,11 @@ def build_traces_stacked(provers: Sequence["TrainingUpdateProver"]):
     masks = np.stack([p.masks for p in provers])       # (C, n, 120) u64
     mask_limbs = jnp.asarray(_u64_masks_to_limbs(masks))
 
-    stacked = _build_stacked_traces(w0, ws0, b0, bs0, xb, yb, mask_limbs,
-                                    p0.learning_rate, p0.precision, n)
+    from ..prover import aot
+    stacked = aot.call(
+        "build_stacked", (p0.learning_rate, p0.precision, n),
+        _build_stacked_closed(p0.learning_rate, p0.precision, n),
+        w0, ws0, b0, bs0, xb, yb, mask_limbs)
     for i, p in enumerate(provers):
         p._trace = TraceTable(stacked[:, i])
     return stacked

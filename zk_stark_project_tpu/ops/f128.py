@@ -312,9 +312,17 @@ canon = jax.jit(_canon_impl)
 @functools.lru_cache(maxsize=None)
 def _pallas_backend_default() -> bool:
     try:
-        return jax.default_backend() == "tpu"
+        on_tpu = jax.default_backend() == "tpu"
     except Exception:  # noqa: BLE001
         return False
+    if on_tpu:
+        # first confirmed-TPU moment in any process: switch the persistent
+        # compile cache to the committed, host-portable TPU dir so every
+        # executable compiled from here on is warm for the next sandbox
+        from .. import use_tpu_compile_cache
+
+        use_tpu_compile_cache()
+    return on_tpu
 
 
 def use_pallas() -> bool:

@@ -1,4 +1,4 @@
-"""Whole-proof fused prover — Fiat–Shamir ON DEVICE, two dispatches total.
+"""Whole-proof fused prover — Fiat–Shamir ON DEVICE, ONE dispatch total.
 
 `prover/batch.py::prove_many` pays a host<->device round trip at every
 transcript boundary (~7 per statement batch; ~25 ms each on a tunneled
@@ -6,15 +6,15 @@ chip — the dominant cost at reference shapes, SPEED.md §1).  This module
 chains EVERY phase inside one executable by running the random coin
 in-graph (`prover/device_coin.py`):
 
-  dispatch A   trace LDE+commit -> coin reseed/draw -> composition ->
-               OOD -> DEEP -> all FRI folds -> grinding -> query draw
-               (one jit per (statement shape, options); outputs the
-               transcript scalars + the committed structures, which stay
-               resident on device)
-  host         pull roots/OOD/remainder/nonces/positions (one transfer),
-               fold query positions per FRI layer (integer bookkeeping)
-  dispatch B   every opening gather (`phases.gather_openings`)
-  host         proof assembly (identical to prove_many's)
+  dispatch     trace LDE+commit -> coin reseed/draw -> composition ->
+               OOD -> DEEP -> all FRI folds -> grinding -> query draw ->
+               FRI fold-position bookkeeping -> every opening gather
+               (one jit per (statement shape, options))
+  host         ONE pull of the transcript scalars + all opening values,
+               then proof assembly (identical to prove_many's; the
+               fold-position dedup is recomputed on host ints purely to
+               size the per-layer opening lists — in-graph `fold_dev`
+               reproduces the exact first-seen order)
 
 The transcript is BIT-IDENTICAL to the host-coin path: same seeds, same
 draws, same grinding nonce (first qualifying, in chunk-scan order), same
@@ -172,17 +172,47 @@ def _dispatch_a(kind: str, n: int, w: int, c: int, ce_blowup: int, m: int,
         state = dc.reseed_with_u64(state, nonce)
         positions, state = dc.draw_integers(state, num_queries, big_n)
 
+        # -- phase 7: opening gathers (merged — ONE dispatch, ONE pull) --
+        # the fold-position bookkeeping (dedup in first-seen order, pad to
+        # Q) runs in-graph so the gathers chain directly onto the query
+        # draw; Q is small, so the O(Q^2) first-occurrence mask is free.
+        q_iota = jnp.arange(num_queries, dtype=jnp.int32)
+        earlier = jnp.asarray(
+            np.tril(np.ones((num_queries, num_queries), dtype=bool), -1))
+
+        def fold_dev(pos_arr, m_l):
+            cosets = (pos_arr % m_l).astype(jnp.int32)
+            eq = cosets[:, :, None] == cosets[:, None, :]
+            dup = jnp.any(eq & earlier[None], axis=2)       # seen before
+            order = jnp.argsort(
+                jnp.where(dup, num_queries + q_iota, q_iota), axis=1)
+            return jnp.take_along_axis(cosets, order, axis=1)
+
+        items = []
+        layer_pos = positions
+        cur_n2 = big_n
+        for (evals, levels, _root) in fri_layers:
+            m_l = cur_n2 // factor
+            folded_p = fold_dev(layer_pos, m_l)             # (C, Q) padded
+            flat_idx = (folded_p[:, :, None]
+                        + m_l * jnp.arange(factor, dtype=jnp.int32)
+                        [None, None, :]).reshape(c, num_queries * factor)
+            items.append((evals, levels, flat_idx, folded_p))
+            layer_pos = folded_p
+            cur_n2 //= factor
+        gath = phases._gather_openings_impl(
+            lde, comp_lde, trace_levels, comp_levels, tuple(items),
+            positions)
+
         return (trace_root, comp_root, e_cur, e_nxt, e_cmp,
                 tuple(l[2] for l in fri_layers), rem_coeffs, nonce,
-                positions, trace_polys, lde, trace_levels, comp_lde,
-                comp_levels,
-                tuple((l[0], l[1]) for l in fri_layers))
+                positions, gath)
 
     return jax.jit(run)
 
 
 def prove_many_device(airs: Sequence[Air], traces: Sequence) -> List[Proof]:
-    """prove_many with the transcript on device — 2 dispatches, 2 pulls.
+    """prove_many with the transcript on device — 1 dispatch, 1 pull.
     Same restrictions as `prove_many`; transcripts bit-identical."""
     from .batch import _stack_params
     from .stark import ProverChannel, _pow_chunk_log2, group_assertions
@@ -228,21 +258,21 @@ def prove_many_device(airs: Sequence[Air], traces: Sequence) -> List[Proof]:
 
     group_alpha_idx = tuple(
         tuple(k + j for (j, _, _) in groups[s]) for s in steps)
-    fn = _dispatch_a(kind, n, w, c, air0.ce_blowup, m, opts.blowup_factor,
-                     offset, step_groups, factor, n_layers, rem_len,
-                     k + len(pat0), k, opts.grinding_bits, q,
-                     _pow_chunk_log2(), tparam_meta, group_alpha_idx)
+    cfg = (kind, n, w, c, air0.ce_blowup, m, opts.blowup_factor,
+           offset, step_groups, factor, n_layers, rem_len,
+           k + len(pat0), k, opts.grinding_bits, q,
+           _pow_chunk_log2(), tparam_meta, group_alpha_idx)
+    fn = _dispatch_a(*cfg)
     stacked = jnp.stack([t.data for t in traces], axis=1)
-    (trace_root_a, comp_root_a, e_cur, e_nxt, e_cmp, fri_roots_a,
-     rem_coeffs, nonce_a, pos_a, trace_polys, lde, trace_levels,
-     comp_lde, comp_levels, fri_layers) = fn(stacked, seed0, tparams,
-                                             group_vals)
+    from . import aot
+    out = aot.call("dispatch_a", cfg, fn, stacked, seed0, tparams,
+                   group_vals)
 
-    # ---- ONE pull of every transcript scalar --------------------------
+    # ---- ONE dispatch, ONE pull: transcript scalars + every opening ----
     (trace_root_np, comp_root_np, cur_np, nxt_np, cmp_np, fri_roots_np,
-     rem_np, nonce_np, pos_np) = jax.device_get(
-        (trace_root_a, comp_root_a, e_cur, e_nxt, e_cmp, fri_roots_a,
-         rem_coeffs, nonce_a, pos_a))
+     rem_np, nonce_np, pos_np,
+     (trace_rows, comp_rows, trace_sibs, comp_sibs,
+      fri_out)) = jax.device_get(out)
 
     trace_roots = [r.astype("<u4").tobytes() for r in trace_root_np]
     comp_roots = [r.astype("<u4").tobytes() for r in comp_root_np]
@@ -265,30 +295,17 @@ def prove_many_device(airs: Sequence[Air], traces: Sequence) -> List[Proof]:
               for i in range(c)]
     pos_arr = np.asarray(pos_np, dtype=np.int32)
 
-    # ---- host bookkeeping + dispatch B (gathers) -----------------------
+    # ---- host bookkeeping (same fold order as the in-graph fold_dev) ---
     per_proof_pos = [list(map(int, pos_arr[i])) for i in range(c)]
-    fri_host, fri_items = [], []
+    fri_host = []
     layer_pos = per_proof_pos
     cur_n = big_n
-    for (evals, levels) in fri_layers:
-        log2_n = cur_n.bit_length() - 1
-        m_l = (1 << log2_n) // factor
+    for _ in range(n_layers):
+        m_l = cur_n // factor
         folded = [fri.fold_positions(p, m_l) for p in layer_pos]
-        padded = np.asarray(
-            [fp + [fp[0]] * (q - len(fp)) for fp in folded], dtype=np.int32)
-        flat_idx = (padded[:, :, None] +
-                    m_l * np.arange(factor, dtype=np.int32)[None, None, :])
         fri_host.append((folded, m_l))
-        fri_items.append((evals, levels,
-                          jnp.asarray(flat_idx.reshape(c, q * factor)),
-                          jnp.asarray(padded)))
         layer_pos = folded
         cur_n //= factor
-
-    (trace_rows, comp_rows, trace_sibs, comp_sibs,
-     fri_out) = jax.device_get(phases.gather_openings(
-         lde, comp_lde, trace_levels, comp_levels, tuple(fri_items),
-         jnp.asarray(pos_arr)))
 
     trace_ints = f128.to_ints(trace_rows)
     comp_ints = f128.to_ints(comp_rows)

@@ -489,8 +489,13 @@ def _sib_stack(levels: Tuple[jnp.ndarray, ...], idx: jnp.ndarray):
 def gather_openings(lde, comp_lde, trace_levels, comp_levels, fri_items,
                     pos):
     """Every opening gather in one executable (TPU) / eagerly (CPU)."""
-    fn = _gather_openings_jit if use_fused() else _gather_openings_impl
-    return fn(lde, comp_lde, trace_levels, comp_levels, fri_items, pos)
+    if use_fused():
+        from . import aot
+        return aot.call("gather_openings", (), _gather_openings_jit,
+                        lde, comp_lde, trace_levels, comp_levels,
+                        fri_items, pos)
+    return _gather_openings_impl(lde, comp_lde, trace_levels, comp_levels,
+                                 fri_items, pos)
 
 
 def _gather_openings_impl(lde: jnp.ndarray, comp_lde: jnp.ndarray,
