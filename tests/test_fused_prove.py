@@ -14,9 +14,35 @@ import pytest
 
 from zk_stark_project_tpu.models import aggregation as agg
 from zk_stark_project_tpu.models.ml_math import AC, FE
+from zk_stark_project_tpu.models.toy import make_toy_statement
 from zk_stark_project_tpu.ops.signed import f64_to_felt
 from zk_stark_project_tpu.prover import fast_options, prove
+from zk_stark_project_tpu.prover.options import ProofOptions
 from zk_stark_project_tpu.verifier import verify
+
+
+def test_fused_prove_small_shape_bit_identical(np_rng):
+    """The fused device-transcript prover vs the host-coin path, on shapes
+    the XLA-CPU compiler handles in CI time (width 4, n=16, 3 queries,
+    2-bit grinding so the in-graph while_loop nonce search runs) —
+    regression cover for `prover/fused.py` (round-3 verdict: the headline
+    fused path was TPU-gated only)."""
+    from zk_stark_project_tpu.prover.fused import prove_many_device
+
+    opts = ProofOptions(num_queries=3, blowup_factor=2, grinding_bits=2,
+                        fri_folding_factor=2, fri_remainder_max_degree=3)
+    pairs = [make_toy_statement(np_rng, opts) for _ in range(2)]
+    airs = [a for a, _ in pairs]
+    trs = [t for _, t in pairs]
+    os.environ["ZKSTARK_DEVICE_TRANSCRIPT"] = "0"   # host-coin baseline
+    try:
+        base = [prove(a, t) for a, t in zip(airs, trs)]
+    finally:
+        os.environ.pop("ZKSTARK_DEVICE_TRANSCRIPT", None)
+    fused = prove_many_device(airs, trs)
+    for b, f, a in zip(base, fused, airs):
+        assert f.to_bytes() == b.to_bytes()
+        verify(a, f)
 
 
 @pytest.mark.slow

@@ -38,20 +38,43 @@ def _enable_compile_cache() -> None:
         # entries bake in the compile machine's vector ISA, and loading an
         # entry from a beefier host SEGFAULTS (observed: avx512/amx entries
         # from a prior round's machine crashing `_fold` here).  Keying the
-        # directory by CPU flags makes cross-machine reuse impossible while
-        # keeping same-machine persistence.
+        # directory by CPU identity makes cross-machine reuse impossible
+        # while keeping same-machine persistence.
+        #
+        # The flags line alone is NOT enough: hosts with identical flags can
+        # still get different XLA target options (+prefer-no-gather, amx
+        # scheduling variants keyed on the CPU *model*), and a same-key
+        # stale entry is rejected at load (cpu_aot_loader errors all over
+        # the round-3 MULTICHIP tail) — wasted time on every cold process.
+        # So hash the full CPU identity (vendor/family/model/flags) plus
+        # the jax+jaxlib versions.
+        # Belt and braces: also key on the hostname.  Within one round the
+        # builder/judge/driver may be DIFFERENT hosts sharing this
+        # filesystem; XLA:CPU derives target features from CPUID directly,
+        # which can differ even when /proc/cpuinfo text matches.  The CPU
+        # dir is gitignored (never crosses rounds), so per-host keying
+        # costs nothing and makes cross-host loads impossible.
         import hashlib
+        import platform
 
-        tag = "generic"
+        ident = [jax.__version__, platform.node()]
+        try:
+            import jaxlib
+
+            ident.append(getattr(jaxlib, "__version__", "?"))
+        except Exception:  # noqa: BLE001
+            pass
         try:
             with open("/proc/cpuinfo") as f:
                 for line in f:
-                    if line.startswith("flags"):
-                        tag = hashlib.sha256(
-                            line.encode()).hexdigest()[:12]
-                        break
+                    if line.startswith(("vendor_id", "cpu family", "model",
+                                        "stepping", "flags")):
+                        ident.append(line.strip())
+                    if line.strip() == "" and len(ident) > 2:
+                        break  # first core only
         except OSError:
             pass
+        tag = hashlib.sha256("\n".join(ident).encode()).hexdigest()[:12]
         default_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "..",
             f".jax_cache-{tag}")

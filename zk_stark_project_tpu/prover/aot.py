@@ -47,18 +47,28 @@ def enabled() -> bool:
 
 @functools.lru_cache(maxsize=None)
 def _source_fingerprint() -> str:
-    """Hash of every compute-path module's source + the jax version."""
+    """Hash of every compute-path module's source + the jax version.
+
+    Includes every module whose *Python-computed values* end up baked into
+    the traced graphs — notably `ops/f128_ref` (field modulus, roots of
+    unity, coset offsets: host-side python ints embedded as constants by
+    phases.py/fused.py) and the prover drivers that compute trace-time
+    statics (stark/batch/channel/proof).
+    """
     import inspect
 
     from ..models import aggregation, ml_math, training
-    from ..ops import blake3, f128, f128_pallas, merkle, mimc, ntt
+    from ..ops import blake3, f128, f128_pallas, f128_ref, merkle, mimc, ntt
     from ..ops import pow_pallas, signed
-    from . import device_coin, fri, fused, phases, poly
+    from . import batch, channel, device_coin, fri, fused, phases, poly
+    from . import proof as proof_mod
+    from . import stark
 
     h = hashlib.sha256()
-    for mod in (blake3, f128, f128_pallas, merkle, mimc, ntt, pow_pallas,
-                signed, device_coin, fri, fused, phases, poly, aggregation,
-                ml_math, training):
+    for mod in (blake3, f128, f128_pallas, f128_ref, merkle, mimc, ntt,
+                pow_pallas, signed, batch, channel, device_coin, fri, fused,
+                phases, poly, proof_mod, stark, aggregation, ml_math,
+                training):
         try:
             h.update(inspect.getsource(mod).encode())
         except (OSError, TypeError):
@@ -71,7 +81,11 @@ def _digest(name: str, static_key, args) -> str:
     shapes = jax.tree.map(
         lambda a: (tuple(a.shape), str(a.dtype)) if hasattr(a, "shape")
         else ("py", repr(a)), args)
-    blob = repr((name, static_key, shapes,
+    try:
+        env = (jax.default_backend(), jax.device_count())
+    except Exception:  # noqa: BLE001
+        env = ("unknown", 0)
+    blob = repr((name, static_key, shapes, env,
                  _source_fingerprint())).encode()
     return hashlib.sha256(blob).hexdigest()[:20]
 
@@ -97,27 +111,32 @@ def call(name: str, static_key, fn: Callable, *args):
     slot = _resolve_cached(name, digest)
     if "call" not in slot:
         path = os.path.join(AOT_DIR, f"{name}-{digest}.jaxexp")
-        loaded = None
         if os.path.exists(path):
             try:
                 with open(path, "rb") as f:
                     exp = jax.export.deserialize(zlib.decompress(f.read()))
                 loaded = jax.jit(exp.call)
+                # First execution validates the artifact end-to-end: a
+                # deserialize that succeeds can still fail at compile/run
+                # time (platform or topology drift not covered by the
+                # digest); fall back to the live trace instead of turning
+                # a cache problem into a cold-start crash.
+                out = loaded(*args)
+                slot["call"] = loaded
+                return out
             except Exception:  # noqa: BLE001 - fall back to live trace
-                loaded = None
-        if loaded is None:
-            try:
-                exp = jax.export.export(fn)(*args)
-                os.makedirs(AOT_DIR, exist_ok=True)
-                tmp = path + ".tmp"
-                with open(tmp, "wb") as f:
-                    f.write(zlib.compress(exp.serialize(), 6))
-                os.replace(tmp, path)
-                # run through the exported call so the persistent compile
-                # cache entry matches what the next sandbox will execute
-                loaded = jax.jit(exp.call)
-            except Exception:  # noqa: BLE001 - AOT is an optimization only
-                slot["call"] = fn
-                return fn(*args)
+                pass
+        try:
+            exp = jax.export.export(fn)(*args)
+            os.makedirs(AOT_DIR, exist_ok=True)
+            tmp = f"{path}.{os.getpid()}.tmp"
+            with open(tmp, "wb") as f:
+                f.write(zlib.compress(exp.serialize(), 6))
+            os.replace(tmp, path)
+            # run through the exported call so the persistent compile
+            # cache entry matches what the next sandbox will execute
+            loaded = jax.jit(exp.call)
+        except Exception:  # noqa: BLE001 - AOT is an optimization only
+            loaded = fn
         slot["call"] = loaded
     return slot["call"](*args)
