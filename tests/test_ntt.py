@@ -74,3 +74,37 @@ def test_domain_points():
     assert pts[0] == ref.GENERATOR
     assert pts[1] == (ref.GENERATOR * w) % P
     assert len(pts) == 8
+
+
+@pytest.mark.parametrize("logn,inverse", [(8, False), (9, True), (10, False)])
+def test_four_step_matches_direct(rng, logn, inverse):
+    """The DIF-based four-step decomposition (used above the Pallas VMEM
+    cap on TPU) must match the direct transform at any size — exercises
+    the DIF mirror, the rev-permuted mid-twiddle table and the final
+    unscramble gather on CPU."""
+    n = 1 << logn
+    vals = _rand(rng, n)
+    limbs = f128.from_ints(vals)
+    got = f128.to_ints(ntt._four_step(limbs, logn, inverse))
+    want = ref.ntt(vals, invert=inverse)
+    assert [int(v) for v in got] == want
+
+
+def test_four_step_batched(rng):
+    """Four-step over a batched (8, C, n) stack, forward and inverse."""
+    n, C = 256, 3
+    cols = [_rand(rng, n) for _ in range(C)]
+    stacked = f128.from_ints(np.array(cols, dtype=object))
+    got = f128.to_ints(ntt._four_step(stacked, 8, False))
+    for c in range(C):
+        assert [int(v) for v in got[c]] == ref.ntt(cols[c])
+
+
+def test_dif_mirror_order(rng):
+    """_dif: natural input -> bit-reversed output, no scaling."""
+    logn, n = 6, 64
+    vals = _rand(rng, n)
+    out = f128.to_ints(ntt._dif(f128.from_ints(vals), logn, False))
+    want = ref.ntt(vals)
+    revd = [want[int(r)] for r in ntt._bitrev_np(logn)]
+    assert [int(v) for v in out] == revd

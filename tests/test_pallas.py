@@ -92,3 +92,40 @@ def test_ntt_stages_bit_exact(np_rng):
     got2 = f128.to_ints(ntt.ntt(a2))
     assert all([int(x) for x in got2[i]] == ref.ntt(cols[i])
                for i in range(2))
+
+
+def test_ntt_dif_kernel_bit_exact(np_rng):
+    """DIF kernel: natural input -> bit-reversed output, vs the int oracle."""
+    import random
+
+    from zk_stark_project_tpu.ops import ntt
+
+    r = random.Random(9)
+    for logn in (7, 10):
+        n = 1 << logn
+        vals = [r.getrandbits(128) % ref.P for _ in range(n)]
+        out = f128.to_ints(ntt._dif(f128.from_ints(vals), logn, False))
+        want = ref.ntt(vals)
+        revd = [want[int(i)] for i in ntt._bitrev_np(logn)]
+        assert [int(v) for v in out] == revd
+
+
+def test_ntt_dif_kernel_fused_scale(np_rng):
+    """The fused input-scale operand (four-step mid twiddle) matches an
+    explicit pre-multiply."""
+    import random
+
+    import jax.numpy as jnp
+
+    from zk_stark_project_tpu.ops import ntt
+
+    r = random.Random(11)
+    logn, n, b = 8, 256, 4
+    vals = [[r.getrandbits(128) % ref.P for _ in range(n)] for _ in range(b)]
+    sc = [[r.getrandbits(128) % ref.P for _ in range(n)] for _ in range(2)]
+    x = f128.from_ints(np.asarray(vals, dtype=object))
+    s = f128.from_ints(np.asarray(sc, dtype=object))
+    fused = ntt._dif(x, logn, False, scale=s)
+    explicit = ntt._dif(
+        f128.mul(x, jnp.tile(s, (1, 2, 1))), logn, False)
+    assert _canon_eq(fused, explicit)

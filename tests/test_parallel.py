@@ -115,3 +115,44 @@ def test_dcn_dntt_plan_volumes():
     assert 0 < plan["dcn_bytes_per_host"] < n_bytes
     single = multihost.dcn_dntt_plan(log2_n=20, hosts=1, chips_per_host=8)
     assert single["dcn_bytes_per_host"] == 0
+
+
+@pytest.mark.slow
+def test_multihost_two_process_commit():
+    """REAL 2-process `jax.distributed` run: spawn two CPU processes that
+    form a 4-device global mesh, run a dp-sharded commit with the client
+    axis split ACROSS processes, and replicate the roots back through a
+    cross-process collective (round-3 verdict: `parallel/multihost.py` had
+    never executed with >1 process)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", str(port)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, cwd=os.path.dirname(os.path.dirname(__file__)))
+        for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+        assert f"MULTIHOST OK pid={i} procs=2 devices=4" in out, out[-1500:]

@@ -94,7 +94,14 @@ def profile(logn: int) -> None:
     if fp.available() and fp.ntt_supported(l2, n1):
         t1 = _timeit(_chained(stages_only, 1), xm)
         t2 = _timeit(_chained(stages_only, k + 1), xm)
-        print(f"  pallas stage kernel only:       {(t2 - t1) / k * 1e3:8.3f} ms")
+        print(f"  pallas stage kernel only (DIT): {(t2 - t1) / k * 1e3:8.3f} ms")
+
+        def dif_only(v):
+            return ntt._dif(v, l2, False)
+
+        t1 = _timeit(_chained(dif_only, 1), xm)
+        t2 = _timeit(_chained(dif_only, k + 1), xm)
+        print(f"  pallas stage kernel only (DIF): {(t2 - t1) / k * 1e3:8.3f} ms")
 
     w_pows = ntt._offset_powers(l2, ntt._root_int(logn, False), False)
 

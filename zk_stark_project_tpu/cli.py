@@ -63,9 +63,14 @@ def _train_one_device(device: EdgeDevice, bs: int, options: ProofOptions,
 
 def _make_training_prover(device: EdgeDevice, bs: int, options: ProofOptions,
                           rng: np.random.Generator, verbose: bool,
-                          index: int) -> Optional[TrainingUpdateProver]:
+                          index: int, air_version: str = "v1"
+                          ) -> Optional[TrainingUpdateProver]:
     """Sample + encode one device's batch and build its training prover
-    (draws masks — call in device order to keep the RNG stream stable)."""
+    (draws masks — call in device order to keep the RNG stream stable).
+
+    `air_version`: "v1" = the reference-faithful masked AIR with inert
+    transitions (SURVEY.md pin #3); "v2" = the sound degree-2 SGD AIR
+    (`models/training_v2.py`), natural field encoding."""
     host_feats, host_labs = device.next_batch(SAMPLE_SIZE)
     if len(host_feats) < bs:
         if verbose:
@@ -78,6 +83,15 @@ def _make_training_prover(device: EdgeDevice, bs: int, options: ProofOptions,
     w, ws, b, bsn = ml_math.generate_initial_model(FE, AC, 1.0, rng)
     lr = f64_to_felt(0.0001)
     pr = f64_to_felt(1e6)
+    if air_version == "v2":
+        from .models.training_v2 import (TrainingUpdateV2Prover,
+                                         signed_pair_to_natural)
+
+        state = [signed_pair_to_natural(w[j][i], ws[j][i])
+                 for j in range(AC) for i in range(FE)]
+        state += [signed_pair_to_natural(b[j], bsn[j]) for j in range(AC)]
+        return TrainingUpdateV2Prover(options, state, zk_feats, zk_labs,
+                                      lr, pr, bs, rng=rng)
     return TrainingUpdateProver(options, w, b, ws, bsn, zk_feats,
                                 zk_feats_sign, zk_labs, lr, pr, bs, rng=rng)
 
@@ -135,7 +149,7 @@ def _train_all_devices(devices: List[EdgeDevice], bs: int,
 
 def run_proof_pipeline(devices: List[EdgeDevice], bs: int,
                        options: ProofOptions, rng: np.random.Generator,
-                       verbose: bool = False):
+                       verbose: bool = False, air_version: str = "v1"):
     """Full `--step proof` pipeline with the aggregation statement proved
     CONCURRENTLY with the training batch.
 
@@ -156,21 +170,27 @@ def run_proof_pipeline(devices: List[EdgeDevice], bs: int,
 
     provers, indices = [], []
     for i, dev in enumerate(devices):
-        tp = _make_training_prover(dev, bs, options, rng, verbose, i)
+        tp = _make_training_prover(dev, bs, options, rng, verbose, i,
+                                   air_version)
         if tp is not None:
             provers.append(tp)
             indices.append(i)
     if not provers:
         return [], 0, None
 
-    if phases.use_fused():
+    if air_version == "v2":
+        # the sound AIR rides the generic (un-batched) prover path
+        traces = [tp.build_trace() for tp in provers]
+    elif phases.use_fused():
         stacked = build_traces_stacked(provers)
+        fetch_boundaries(provers, stacked)
+        traces = [tp.build_trace() for tp in provers]
     else:
         import jax.numpy as jnp
         stacked = jnp.stack([tp.build_trace().data for tp in provers],
                             axis=1)
-    fetch_boundaries(provers, stacked)
-    traces = [tp.build_trace() for tp in provers]
+        fetch_boundaries(provers, stacked)
+        traces = [tp.build_trace() for tp in provers]
     client_reps = [tp.client_rep() for tp in provers]
 
     # aggregation prover constructed NOW (keeps the rng stream identical to
@@ -194,7 +214,11 @@ def run_proof_pipeline(devices: List[EdgeDevice], bs: int,
     total_size = 0
     airs = [tp.air() for tp in provers]
     t0 = time.time()
-    proofs = prove_many(airs, traces)
+    if air_version == "v2":
+        # no batched transition kernel — generic per-statement prover
+        proofs = [prove(a, t) for a, t in zip(airs, traces)]
+    else:
+        proofs = prove_many(airs, traces)
     gen_ms = int((time.time() - t0) * 1000)
     for i, air, proof in zip(indices, airs, proofs):
         verify(air, proof)
@@ -243,6 +267,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                         help="override proof options (testing only)")
     parser.add_argument("--blowup", type=int, default=None)
     parser.add_argument("--grinding", type=int, default=None)
+    parser.add_argument("--air", default="v1", choices=["v1", "v2"],
+                        help="training AIR: v1 = reference-faithful "
+                             "(inert transitions, SURVEY.md pin #3); "
+                             "v2 = sound degree-2 SGD constraints "
+                             "(models/training_v2.py)")
     parser.add_argument("--multihost", action="store_true",
                         help="initialize jax.distributed (coordinator via "
                              "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
@@ -295,7 +324,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.step == "proof":
         # training batch + aggregation proved concurrently
         client_reps, total_training_proof_size, agg_pf = run_proof_pipeline(
-            devices, args.bs, options, rng, args.verbose)
+            devices, args.bs, options, rng, args.verbose,
+            air_version=args.air)
         aggregation_proof_size = agg_pf.size_bytes
         if args.verbose:
             print(f"Proof size: {aggregation_proof_size} bytes")

@@ -259,6 +259,185 @@ def _ntt_stages_kernel(x_ref, tw_ref, mask_ref, o_ref, *, logn: int,
     _store_limbs(o_ref, list(xl))
 
 
+# ---------------------------------------------------------------------------
+# DIF (Gentleman–Sande) fused NTT: natural input -> bit-reversed output
+# ---------------------------------------------------------------------------
+#
+# Used by the four-step decomposition (`ops/ntt._four_step`): DIF needs no
+# input bit-reverse gather, and its output order is absorbed into the
+# four-step's single final unscramble permutation — so the two inner
+# transforms cost zero data permutations.
+#
+# Work reduction vs the DIT roll kernel (which pays one FULL-width mul per
+# stage, half of it on garbage lanes): DIF's first stages pair CONTIGUOUS
+# half-blocks, so while the half-block width is >= one 128-lane row the
+# butterfly runs as static slices with HALF-width muls (no waste), and the
+# final stage (m=2, twiddle w_2^0=1) needs no mul at all.  Profile (v5e,
+# 2^20): the stage kernel is 91% of four-step time and runs at the
+# empirical u32 streaming ceiling, so op-count cuts translate ~1:1.
+
+#: sliced (half-width-mul) DIF stages: measured fastest with block halves
+#: down to 64 lanes (A/B on v5e: half>=64 gave -9% vs half>=128; half>=32
+#: regressed), capped so the unrolled block count stays small.
+_DIF_MAX_SLICED = 6
+
+
+def _dif_n_sliced(logn: int) -> int:
+    return min(max(0, logn - 6), _DIF_MAX_SLICED)
+
+
+def _ntt_stages_dif_kernel(*refs, logn: int, rows: int, has_scale: bool):
+    """DIF stages, natural -> bit-reversed.  Stage s (1-based) has block
+    size m = n >> (s-1): out[lower] = u + v, out[upper] = (u - v) * w_m^i.
+
+    Layout: sliced stages unrolled (static slices, half-width muls), middle
+    stages as a fori_loop over the roll formulation, last stage (m=2)
+    mul-free.  With `has_scale`, inputs are multiplied elementwise by the
+    extra operand first (the four-step mid twiddle, fused so it costs no
+    extra HBM pass)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if has_scale:
+        x_ref, stw_ref, tw_ref, mask_ref, scale_ref, o_ref = refs
+    else:
+        x_ref, stw_ref, tw_ref, mask_ref, o_ref = refs
+        scale_ref = None
+    n = 1 << logn
+    n_sliced = _dif_n_sliced(logn)
+
+    def roll(v, shift):
+        return pltpu.roll(v, shift=shift, axis=v.ndim - 1)
+
+    xl = [x_ref[i] for i in range(8)]
+    if scale_ref is not None:
+        xl = _mul_limbs(xl, [scale_ref[i] for i in range(8)])
+
+    # -- sliced stages: contiguous half-blocks, half-width muls ------------
+    for s in range(1, n_sliced + 1):
+        m = n >> (s - 1)
+        half = m >> 1
+        twl = [jnp.broadcast_to(stw_ref[i, pl.ds(s - 1, 1), :half],
+                                (rows, half)) for i in range(8)]
+        segs = [[] for _ in range(8)]
+        for b in range(1 << (s - 1)):
+            off = b * m
+            u = [v[:, off:off + half] for v in xl]
+            w = [v[:, off + half:off + m] for v in xl]
+            su = _add_limbs(u, w)
+            t = _mul_limbs(_sub_limbs(u, w), twl)
+            for i in range(8):
+                segs[i].append(su[i])
+                segs[i].append(t[i])
+        xl = [jnp.concatenate(parts, axis=1) for parts in segs]
+
+    # -- middle stages: roll formulation (full-width mul) ------------------
+    def stage(r, xl):
+        xl = list(xl)
+        s = r + n_sliced + 1                       # stage number (traced)
+        half = jax.lax.shift_right_logical(jnp.int32(n), s)
+        twl = [jnp.broadcast_to(tw_ref[i, pl.ds(r, 1), :], (rows, n))
+               for i in range(8)]
+        summ = _add_limbs(xl, [roll(v, n - half) for v in xl])
+        diff = _sub_limbs([roll(v, half) for v in xl], xl)
+        t = _mul_limbs(twl, diff)
+        lower = jnp.broadcast_to(mask_ref[pl.ds(r, 1), :] != 0, (rows, n))
+        return tuple(jnp.where(lower, a, d) for a, d in zip(summ, t))
+
+    n_roll = max(0, logn - 1 - n_sliced)
+    xl = jax.lax.fori_loop(0, n_roll, stage, tuple(xl))
+
+    # -- final stage (m=2): twiddle = 1, pure add/sub ----------------------
+    xl = list(xl)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
+    even = (lane & 1) == 0
+    summ = _add_limbs(xl, [roll(v, n - 1) for v in xl])
+    diff = _sub_limbs([roll(v, 1) for v in xl], xl)
+    _store_limbs(o_ref, [jnp.where(even, a, d)
+                         for a, d in zip(summ, diff)])
+
+
+def ntt_stages_dif(x: jnp.ndarray, stw: jnp.ndarray, tw_ext: jnp.ndarray,
+                   masks: jnp.ndarray, scale: jnp.ndarray = None
+                   ) -> jnp.ndarray:
+    """All DIF butterfly stages fused: natural-order input ->
+    BIT-REVERSED output (out[p] = X[rev(p)]).
+
+    x: (8, B, n) u32 red128 limbs.  stw: (8, S, n/2) sliced-stage twiddles
+    (stage s at [:, s-1, :n>>s]); tw_ext: (8, R, n) roll-stage twiddles in
+    natural position order (zero on lower half-positions); masks: (R, n)
+    u32, 1 on lower half-positions.  Tables from `ntt._dif_tables`.
+    `scale` (optional, same shape as x): elementwise pre-multiplier fused
+    into the kernel (the four-step mid twiddle).
+    Bit-exact vs take(ntt natural output, bitrev)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = x.shape[-1]
+    logn = n.bit_length() - 1
+    b = x.shape[1]
+    # same tile budget as the DIT kernel: ~10 live (rows, n) u32 planes
+    # per limb mid-mul; 2^16 elems/tile blew the 16M scoped-vmem limit
+    if b <= max(1, (1 << 15) // n):
+        rows = b
+    else:
+        rows = max(8, (1 << 15) // n)
+    b_pad = -(-b // rows) * rows
+    if b_pad != b:
+        pad = jnp.zeros((8, b_pad - b, n), jnp.uint32)
+        x = jnp.concatenate([x, pad], axis=1)
+        if scale is not None and scale.shape[1] == b:
+            scale = jnp.concatenate([scale, pad], axis=1)
+
+    data_spec = pl.BlockSpec((8, rows, n), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [
+        data_spec,
+        pl.BlockSpec((8, stw.shape[1], n // 2), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, tw_ext.shape[1], n), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((masks.shape[0], n), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x, stw, tw_ext, masks]
+    if scale is not None:
+        sb = scale.shape[1]
+        if sb == b_pad:
+            in_specs.append(data_spec)
+        elif rows <= sb and sb % rows == 0 and b_pad % sb == 0:
+            # scale repeats every `sb` rows (a per-column table shared by
+            # the whole batch): tile it via the index map instead of
+            # materializing the broadcast
+            n_tiles = sb // rows
+            in_specs.append(pl.BlockSpec(
+                (8, rows, n), lambda i: (0, i % n_tiles, 0),
+                memory_space=pltpu.VMEM))
+        elif rows % sb == 0:
+            # tile spans whole repeats of the table: expand the table to
+            # one tile's worth and read it as a constant block
+            scale = jnp.tile(scale, (1, rows // sb, 1))
+            in_specs.append(pl.BlockSpec(
+                (8, rows, n), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM))
+        else:
+            # irregular split — materialize the full broadcast
+            scale = jnp.tile(scale, (1, b_pad // sb, 1))
+            in_specs.append(data_spec)
+        args.append(scale)
+    kern = functools.partial(_ntt_stages_dif_kernel, logn=logn, rows=rows,
+                             has_scale=scale is not None)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((8, b_pad, n), jnp.uint32),
+        grid=(b_pad // rows,),
+        in_specs=in_specs,
+        out_specs=data_spec,
+        interpret=_interpret(),
+    )(*args)
+    return out[:, :b] if b_pad != b else out
+
+
 def ntt_stages(x: jnp.ndarray, tw_ext: jnp.ndarray,
                masks: jnp.ndarray) -> jnp.ndarray:
     """All log2(n) butterfly stages on bit-reversed input, fused.

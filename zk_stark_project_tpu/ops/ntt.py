@@ -136,13 +136,88 @@ def _apply_stages(a: jnp.ndarray, logn: int, inverse: bool) -> jnp.ndarray:
     return a
 
 
+@functools.lru_cache(maxsize=None)
+def _dif_tables(logn: int, inverse: bool):
+    """Twiddle tables for the fused DIF kernel (`f128_pallas.ntt_stages_dif`).
+
+    Returns (stw, tw_ext, masks) host numpy:
+      * stw (8, S, n/2): sliced-stage tables, stage s (1-based, block size
+        m = n >> (s-1)) at [:, s-1, :m/2] holding w_m^0..w_m^(m/2-1);
+      * tw_ext (8, R, n): roll-stage twiddles in natural position order —
+        at roll index r (stage s = S+1+r), position j holds
+        w_m^(j mod m - m/2) on upper half-positions, 0 on lower;
+      * masks (R, n): 1 on lower half-positions.
+    """
+    from . import f128_pallas as fp
+
+    n = 1 << logn
+    tw_full = np.asarray(_twiddles(logn, inverse))        # (8, n/2)
+    n_sliced = fp._dif_n_sliced(logn)
+    stw = np.zeros((8, max(n_sliced, 1), n // 2), np.uint32)
+    for s in range(1, n_sliced + 1):
+        half = n >> s                                     # m/2
+        idx = np.arange(half) << (s - 1)                  # w_m^i = w_n^(i*2^(s-1))
+        stw[:, s - 1, :half] = tw_full[:, idx]
+    n_roll = max(0, logn - 1 - n_sliced)
+    tw_ext = np.zeros((8, max(n_roll, 1), n), np.uint32)
+    masks = np.zeros((max(n_roll, 1), n), np.uint32)
+    pos = np.arange(n)
+    for r in range(n_roll):
+        s = n_sliced + 1 + r
+        m = n >> (s - 1)
+        half = m >> 1
+        j = pos % m
+        upper = j >= half
+        src = np.minimum((j - half) << (s - 1), n // 2 - 1)
+        tw_ext[:, r, :] = np.where(upper[None, :], tw_full[:, src], 0)
+        masks[r] = (~upper).astype(np.uint32)
+    return stw, tw_ext, masks
+
+
+def _dif(values: jnp.ndarray, logn: int, inverse: bool,
+         scale: jnp.ndarray = None) -> jnp.ndarray:
+    """DIF transform along the last axis: natural input -> BIT-REVERSED
+    output (out[p] = X[rev(p)]), no 1/n scaling.  Pallas kernel when
+    supported, else the jnp mirror (gather + DIT stages + gather).
+
+    `scale` (optional): (8, R, n) elementwise pre-multiplier where the
+    flattened batch repeats every R rows — fused into the kernel (the
+    four-step mid twiddle), multiplied explicitly on the mirror path."""
+    from . import f128_pallas as fp
+
+    n = 1 << logn
+    batch = int(np.prod(values.shape[1:-1])) if values.ndim > 2 else 1
+    if f128.use_pallas() and fp.ntt_supported(logn, batch):
+        stw, tw_ext, masks = _dif_tables(logn, inverse)
+        flat = values.reshape((8, -1, n))
+        out = fp.ntt_stages_dif(flat, jnp.asarray(stw), jnp.asarray(tw_ext),
+                                jnp.asarray(masks), scale=scale)
+        return out.reshape(values.shape)
+    if scale is not None:
+        flat = values.reshape((8, -1, n))
+        reps = flat.shape[1] // scale.shape[1]
+        values = f128.mul(flat, jnp.tile(scale, (1, reps, 1))
+                          ).reshape(values.shape)
+    rev = jnp.asarray(_bitrev_np(logn))
+    a = jnp.take(values, rev, axis=-1)
+    a = _apply_stages(a, logn, inverse)
+    return jnp.take(a, rev, axis=-1)
+
+
+
+
 def _four_step(values: jnp.ndarray, logn: int, inverse: bool) -> jnp.ndarray:
     """Four-step (transpose) NTT for transforms beyond the fused-kernel
-    VMEM cap: n = n1*n2, row transforms -> mid twiddle -> column
-    transforms -> transpose.  Inner transforms recurse through `ntt` (and
-    hence the Pallas kernel); the mid twiddle table w^(j2*k1) is built on
-    device by repeated doubling.  Same index math as `parallel/dntt.py`,
-    single-chip."""
+    VMEM cap, built on DIF inner transforms so NO per-transform bit-reverse
+    gathers are paid: with a[j1, j2] (j = j1*n2 + j2) and k = k1 + n1*k2,
+
+        B[j2, rev(k1)]          = DIF over j1
+        C = B * w^(j2*k1)         (table columns pre-permuted by rev(k1))
+        D[rev(k1), rev(k2)]     = DIF over j2
+        A[k]                    = D via ONE final unscramble gather
+
+    The mid twiddle table w^(j2*k1) is built on device by repeated
+    doubling.  Same index math as `parallel/dntt.py`, single-chip."""
     n = 1 << logn
     l1 = min(logn - logn // 2, 12)
     l2 = logn - l1
@@ -150,15 +225,31 @@ def _four_step(values: jnp.ndarray, logn: int, inverse: bool) -> jnp.ndarray:
     batch = values.shape[:-1]
     v = values.reshape(batch + (n1, n2))
     v = jnp.swapaxes(v, -1, -2)                      # (..., n2, j1)
-    v = ntt(v, inverse)                              # A[j2, k1]
-    # mid twiddle w^(j2*k1): rows are powers of w^j2 (base table is host)
-    w_pows = _offset_powers(l2, _root_int(logn, inverse), False)  # (8, n2)
+    v = _dif(v, l1, inverse)                         # B[j2, rev(k1)]
+    v = jnp.swapaxes(v, -1, -2)                      # (..., rev(k1), j2)
+    # mid twiddle w^(j2*k1), built directly in pass-2 orientation —
+    # Tt[i, j2] = w^(j2 * rev(k1=i)): row i is the geometric sequence of
+    # ratio w^rev(i) — and FUSED into the pass-2 kernel as its input
+    # scale, so the multiply costs no separate HBM pass.  (An outer-
+    # product build from two pre-permuted small factors was tried and
+    # measured slower on the chained harness.)
     from ..prover import poly as _poly
-    tw = _poly.powers_of_b(jnp.asarray(w_pows), n1)  # (8, n2, n1)
-    v = f128.mul(v, tw.reshape((8,) + (1,) * (len(batch) - 1) + (n2, n1)))
-    v = jnp.swapaxes(v, -1, -2)                      # (..., k1, j2)
-    v = ntt(v, inverse)                              # B[k1, k2]
-    return jnp.swapaxes(v, -1, -2).reshape(batch + (n,))
+    base = jnp.take(jnp.asarray(
+        _offset_powers(l1, _root_int(logn, inverse), False)),  # (8, n1) w^m
+        jnp.asarray(_bitrev_np(l1).astype(np.int32)), axis=-1)
+    tw_t = _poly.powers_of_b(base, n2)               # (8, n1, n2)
+    v = _dif(v, l2, inverse, scale=tw_t)             # D[rev(k1), rev(k2)]
+    # final unscramble to natural k = k1 + n1*k2 as STRUCTURED moves (a
+    # single flat (n,) gather has pathological locality — measured 3x
+    # slower at 2^24): un-reverse each axis, then transpose k2-major.
+    v = jnp.take(v, jnp.asarray(_bitrev_np(l1).astype(np.int32)), axis=-2)
+    v = jnp.take(v, jnp.asarray(_bitrev_np(l2).astype(np.int32)), axis=-1)
+    out = jnp.swapaxes(v, -1, -2).reshape(batch + (n,))
+    if inverse:
+        out = f128.mul(out, jnp.broadcast_to(
+            _n_inv_limbs(logn).reshape((8,) + (1,) * (out.ndim - 1)),
+            out.shape))
+    return out
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -174,11 +265,16 @@ def ntt(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     batch = int(np.prod(values.shape[1:-1])) if values.ndim > 2 else 1
     if (f128.use_pallas() and logn > fp.NTT_MAX_LOG2
             and not fp.ntt_supported(logn, batch)):
-        # inner transforms handle inverse scaling (1/n1 * 1/n2 = 1/n)
         return _four_step(values, logn, inverse)
     rev = jnp.asarray(_bitrev_np(logn))
-    a = jnp.take(values, rev, axis=-1)
-    a = _apply_stages(a, logn, inverse)
+    if f128.use_pallas() and fp.ntt_supported(logn, batch):
+        # DIF kernel + output un-reverse: same single gather as the DIT
+        # path's input bit-reverse, but the DIF kernel does half-width
+        # muls on its sliced stages and a mul-free last stage (~26%
+        # faster at 2^10, measured v5e).
+        a = jnp.take(_dif(values, logn, inverse), rev, axis=-1)
+    else:
+        a = _apply_stages(jnp.take(values, rev, axis=-1), logn, inverse)
     if inverse:
         a = f128.mul(a, jnp.broadcast_to(
             _n_inv_limbs(logn).reshape((8,) + (1,) * (a.ndim - 1)), a.shape))

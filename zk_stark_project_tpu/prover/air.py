@@ -53,6 +53,11 @@ class Air:
     #: None falls back to the un-batched `evaluate_transitions_jax` path.
     transition_kind = None
 
+    #: True when `evaluate_transitions_at` needs the evaluation point z
+    #: (AIRs with periodic columns, e.g. `models/training_v2.py`); the
+    #: verifier then calls it as (cur, nxt, z).
+    needs_point = False
+
     def transition_params(self):
         """Per-statement transition-kernel parameters as python ints /
         nested int lists (stacked to (8, C, ...) limb arrays when proofs

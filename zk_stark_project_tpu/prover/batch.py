@@ -189,7 +189,17 @@ def suggest_client_chunk(trace_width: int, trace_length: int,
 
 def prove_many_chunked(airs: Sequence[Air], traces: Sequence) -> List[Proof]:
     """prove_many in memory-bounded client chunks (per-proof transcripts
-    are chunking-invariant, `tests/test_batch_prove.py`)."""
+    are chunking-invariant, `tests/test_batch_prove.py`).
+
+    On the fused device-transcript backend the chunks are PIPELINED: every
+    chunk's whole-proof executable is dispatched asynchronously up front
+    (inputs are small; the HBM-bounded intermediates exist only while a
+    chunk executes), then results are pulled and assembled in order — so
+    host-side proof assembly of chunk i overlaps the chip running chunk
+    i+1, instead of the serialized dispatch→pull→assemble loop that cost
+    ~2x at bs=20–40 (round-3 bench_sweep)."""
+    import os
+
     c = len(airs)
     if c == 0:
         return []
@@ -197,6 +207,15 @@ def prove_many_chunked(airs: Sequence[Air], traces: Sequence) -> List[Proof]:
                                  airs[0].options.blowup_factor)
     if chunk >= c:
         return prove_many(airs, traces)
+    kind = getattr(airs[0], "transition_kind", None)
+    if (kind is not None and phases.use_fused()
+            and os.environ.get("ZKSTARK_DEVICE_TRANSCRIPT") != "0"):
+        from .fused import collect_many_device, dispatch_many_device
+
+        pending = [dispatch_many_device(airs[i:i + chunk],
+                                        traces[i:i + chunk])
+                   for i in range(0, c, chunk)]
+        return [p for pend in pending for p in collect_many_device(pend)]
     out: List[Proof] = []
     for i in range(0, c, chunk):
         out.extend(prove_many(airs[i:i + chunk], traces[i:i + chunk]))

@@ -22,6 +22,13 @@ verifier and any future bit-exactness pass have a single source of truth):
              pos = LE-u64(h[0:8]) & (n-1)   (n a power of two), deduplicated
   * leading_zeros(nonce): h = blake3(seed || nonce:u64le);
              lz = 64 - bit_length(LE-u64(h[0:8]))
+
+The reseed / per-draw / grinding hash FRAMINGS equal winterfell's
+`Hasher::merge` (one 64-byte message of two digests) and
+`Hasher::merge_with_int` (one 40-byte message of digest || u64-LE) by
+construction, with the counter reset-to-0 and start-at-1 behavior of
+`DefaultRandomCoin`; only the seed MATERIAL (`context_bytes`) and proof
+serialization remain a self-defined contract — see BITEXACT.md.
 """
 
 from __future__ import annotations

@@ -214,9 +214,21 @@ def _dispatch_a(kind: str, n: int, w: int, c: int, ce_blowup: int, m: int,
 def prove_many_device(airs: Sequence[Air], traces: Sequence) -> List[Proof]:
     """prove_many with the transcript on device — 1 dispatch, 1 pull.
     Same restrictions as `prove_many`; transcripts bit-identical."""
+    return collect_many_device(dispatch_many_device(airs, traces))
+
+
+def dispatch_many_device(airs: Sequence[Air], traces: Sequence):
+    """Dispatch the whole-proof executable WITHOUT pulling results.
+
+    Returns an opaque pending handle for `collect_many_device`.  Dispatch
+    is async (jax), so a caller can enqueue several client chunks
+    back-to-back and the chip pipelines them while the host assembles
+    earlier chunks' proofs — this is what removes the chunking penalty in
+    `prover/batch.py::prove_many_chunked` (bs>=20 splits the 8-client
+    fleet into HBM-bounded chunks; round-3 bench showed the serialized
+    dispatch→pull→assemble loop costing ~2x at bs=20-40)."""
     from .batch import _stack_params
     from .stark import ProverChannel, _pow_chunk_log2, group_assertions
-    from .proof import MerkleOpening
 
     c = len(airs)
     air0 = airs[0]
@@ -267,6 +279,24 @@ def prove_many_device(airs: Sequence[Air], traces: Sequence) -> List[Proof]:
     from . import aot
     out = aot.call("dispatch_a", cfg, fn, stacked, seed0, tparams,
                    group_vals)
+    return (airs, out)
+
+
+def collect_many_device(pending) -> List[Proof]:
+    """Pull a `dispatch_many_device` batch and assemble its proofs."""
+    from .proof import MerkleOpening
+
+    airs, out = pending
+    c = len(airs)
+    air0 = airs[0]
+    opts = air0.options
+    n, w = air0.trace_length, air0.trace_width
+    big_n = air0.lde_domain_size
+    m = air0.num_composition_columns
+    factor = opts.fri_folding_factor
+    n_layers = fri.num_fri_layers(n, factor, opts.fri_remainder_max_degree)
+    rem_len = opts.fri_remainder_max_degree + 1
+    q = opts.num_queries
 
     # ---- ONE dispatch, ONE pull: transcript scalars + every opening ----
     (trace_root_np, comp_root_np, cur_np, nxt_np, cmp_np, fri_roots_np,

@@ -103,9 +103,14 @@ def verify(air: Air, proof: Proof) -> None:
     positions = coin.draw_integers(opts.num_queries, big_n)
 
     # ---- OOD constraint-composition consistency ---------------------------
-    tvals = air.evaluate_transitions_at(
-        [x % ref.P for x in proof.ood_trace_cur],
-        [x % ref.P for x in proof.ood_trace_next])
+    ood_cur_c = [x % ref.P for x in proof.ood_trace_cur]
+    ood_nxt_c = [x % ref.P for x in proof.ood_trace_next]
+    if getattr(air, "needs_point", False):
+        # periodic-column AIRs (e.g. the sound training v2) evaluate their
+        # public per-row columns at the out-of-domain point
+        tvals = air.evaluate_transitions_at(ood_cur_c, ood_nxt_c, z)
+    else:
+        tvals = air.evaluate_transitions_at(ood_cur_c, ood_nxt_c)
     _check(len(tvals) == k, "transition constraint count mismatch")
     g_last = pow(g, n - 1, ref.P)
     zer_t = ((pow(z, n, ref.P) - 1) * ref.inv((z - g_last) % ref.P)) % ref.P
