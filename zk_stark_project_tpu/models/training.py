@@ -370,3 +370,74 @@ class TrainingUpdateProver:
     def air(self) -> TrainingUpdateAir:
         return TrainingUpdateAir(self.trace_length, self.get_pub_inputs(),
                                  self.options)
+
+
+def build_polys_streamed(prover: "TrainingUpdateProver",
+                         col_block: int = 24) -> "jnp.ndarray":
+    """(8, 240, n) trace COEFFICIENT table for a huge-trace prover,
+    assembled + interpolated column-block-wise so the 8 GB trace, its
+    masks and the iNTT temporaries are never resident together (the
+    normal build OOMs a 16 GB chip at n = 2^20).  Also computes the
+    boundary rows (sets `prover._boundary`), so `prover.air()` never
+    touches a full trace.  Feed the result to `prover.big.prove_big`
+    via its `polys=` parameter."""
+    import jax as _jax
+
+    from ..ops import ntt
+
+    n, bs = prover.trace_length, prover.batch_size
+    half = 2 * ml_math.STATE_CELLS                     # 120
+
+    w0 = f128.from_ints(np.asarray(prover.initial_w, dtype=object))
+    ws0 = f128.from_ints(np.asarray(prover.w_sign, dtype=object))
+    b0 = f128.from_ints(np.asarray(prover.initial_b, dtype=object))
+    bs0 = f128.from_ints(np.asarray(prover.b_sign, dtype=object))
+    xb = f128.from_ints(np.asarray(prover.x_batch, dtype=object))
+    yb = f128.from_ints(np.asarray(prover.y_batch, dtype=object))
+    # eager per-sample chain (small jitted kernels; a fused scan graph is
+    # a pathological XLA compile — see `_raw_states_chain`)
+    w_seq, ws_seq, b_seq, bs_seq = _raw_states_chain(
+        (w0, ws0, b0, bs0), xb, yb, prover.learning_rate, prover.precision)
+
+    def _cat(init, seq):
+        return jnp.concatenate([init[:, None], seq], axis=1)
+
+    states = _interleave_flatten(_cat(w0, w_seq), _cat(ws0, ws_seq),
+                                 _cat(b0, b_seq), _cat(bs0, bs_seq))
+    # states: (8, bs+1, 120) — row 0 = initial, row i = after sample i-1
+
+    rowmap = jnp.asarray(np.minimum(np.arange(n), bs).astype(np.int32))
+
+    # ONE jit per block kind, buffer donated: eager per-op materialization
+    # of raw/mask/sum/transpose (0.8 GB each at 2^20) next to the 8 GB
+    # buffer OOMs; inside a jit XLA frees/reuses them immediately.
+    @functools.partial(_jax.jit, donate_argnums=(0,))
+    def store_state_block(buf, state_cols, mask, rmap, start):
+        raw = jnp.take(state_cols, rmap, axis=1)       # (8, n, B)
+        vals = f128.add(raw, mask)
+        return _jax.lax.dynamic_update_slice(
+            buf, ntt.interpolate(jnp.swapaxes(vals, 1, 2)), (0, start, 0))
+
+    @functools.partial(_jax.jit, donate_argnums=(0,))
+    def store_mask_block(buf, mask, start):
+        return _jax.lax.dynamic_update_slice(
+            buf, ntt.interpolate(jnp.swapaxes(mask, 1, 2)), (0, start, 0))
+
+    buf = jnp.zeros((8, 2 * half, n), jnp.uint32)
+    for s in range(0, half, col_block):
+        e = min(s + col_block, half)
+        mask = jnp.asarray(_u64_masks_to_limbs(prover.masks[:, s:e]))
+        buf = store_state_block(buf, states[:, :, s:e], mask, rowmap,
+                                jnp.int32(s))
+        buf = store_mask_block(buf, mask, jnp.int32(half + s))
+    buf.block_until_ready()
+
+    # boundary rows (row 0 and n-1) from the small state table + masks
+    s_ints = f128.to_ints(np.asarray(states[:, [0, bs]]))   # (2,120) object
+    boundary = []
+    for r, mrow in ((0, prover.masks[0]), (1, prover.masks[n - 1])):
+        masked = [(int(s_ints[r, c]) + int(mrow[c])) % ref.P
+                  for c in range(half)]
+        boundary.append(masked + [int(m) for m in mrow])
+    prover._boundary = boundary
+    return buf

@@ -225,3 +225,95 @@ def merge_with_u64(seed: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
     batch = values.shape[:-1]
     seed_b = jnp.broadcast_to(seed, batch + (8,))
     return hash_words(jnp.concatenate([seed_b, values], axis=-1), 40)
+
+
+# ---------------------------------------------------------------------------
+# Streaming primitives for multi-chunk leaf hashing (prover/big.py): one
+# blake3 CHUNK at a time plus explicit parent merges, so a wide Merkle
+# row (e.g. 240 f128 elements = 3840 bytes = 4 chunks) can be hashed in
+# column-block passes without the whole row resident.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def chunk_cv(words: jnp.ndarray, chunk_bytes: int,
+             chunk_index: int) -> jnp.ndarray:
+    """CV of ONE blake3 chunk: `words` (..., ceil(chunk_bytes/64)*16) u32
+    holding the chunk's blocks, with chunk counter `chunk_index` and
+    CHUNK_START/CHUNK_END flags — never ROOT (caller merges parents).
+
+    Blocks run under lax.scan like `hash_words` (an unrolled 16-compress
+    chain is a pathological XLA-CPU compile)."""
+    assert 1 <= chunk_bytes <= ref.CHUNK_LEN
+    n_blocks = max(1, (chunk_bytes + 63) // 64)
+    batch = words.shape[:-1]
+    total = n_blocks * 16
+    if words.shape[-1] < total:
+        pad = jnp.zeros(batch + (total - words.shape[-1],), jnp.uint32)
+        words = jnp.concatenate([words, pad], axis=-1)
+    blocks = jnp.moveaxis(words.reshape(batch + (n_blocks, 16)), -2, 0)
+    blens, flags = [], []
+    rem = chunk_bytes
+    for b in range(n_blocks):
+        bl = min(64, rem)
+        rem -= bl
+        blens.append(bl)
+        flags.append((CHUNK_START if b == 0 else 0)
+                     | (CHUNK_END if b == n_blocks - 1 else 0))
+    cv0 = _iv_cv(batch) + (blocks[0][..., :8] & jnp.uint32(0))
+
+    def step(cv, xs):
+        blk, bl, fl = xs
+        return _compress(cv, blk, chunk_index & 0xFFFFFFFF,
+                         (chunk_index >> 32) & 0xFFFFFFFF,
+                         jnp.broadcast_to(bl, batch),
+                         jnp.broadcast_to(fl, batch)), None
+
+    cv, _ = jax.lax.scan(step, cv0, (
+        blocks, jnp.asarray(blens, jnp.uint32),
+        jnp.asarray(flags, jnp.uint32)))
+    return cv
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def chunk_cv_update(cv: jnp.ndarray, words: jnp.ndarray, b0: int,
+                    total_blocks: int, chunk_bytes: int,
+                    chunk_index: int) -> jnp.ndarray:
+    """Advance a chunk CV over blocks [b0, b0+k) of a chunk with
+    `total_blocks` blocks and `chunk_bytes` total bytes — the incremental
+    form of `chunk_cv`, so one chunk's 1024 bytes can be hashed in
+    column-block pieces (`prover/big.py`).  Start from `cv=None` -> IV."""
+    batch = words.shape[:-1]
+    k = words.shape[-1] // 16
+    blocks = jnp.moveaxis(words.reshape(batch + (k, 16)), -2, 0)
+    if cv is None:
+        cv = _iv_cv(batch)
+    blens, flags = [], []
+    for i in range(k):
+        b = b0 + i
+        bl = min(64, chunk_bytes - b * 64)
+        blens.append(bl)
+        flags.append((CHUNK_START if b == 0 else 0)
+                     | (CHUNK_END if b == total_blocks - 1 else 0))
+    cv = cv + (blocks[0][..., :8] & jnp.uint32(0))
+
+    def step(c, xs):
+        blk, bl, fl = xs
+        return _compress(c, blk, chunk_index & 0xFFFFFFFF,
+                         (chunk_index >> 32) & 0xFFFFFFFF,
+                         jnp.broadcast_to(bl, batch),
+                         jnp.broadcast_to(fl, batch)), None
+
+    cv, _ = jax.lax.scan(step, cv, (
+        blocks, jnp.asarray(blens, jnp.uint32),
+        jnp.asarray(flags, jnp.uint32)))
+    return cv
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def parent_cv(left: jnp.ndarray, right: jnp.ndarray,
+              is_root: bool) -> jnp.ndarray:
+    """blake3 parent node over two child CVs ((..., 8) each)."""
+    fl = PARENT | (ROOT if is_root else 0)
+    return _compress(_iv_cv(left.shape[:-1]),
+                     jnp.concatenate([left, right], axis=-1), 0, 0, 64, fl)
