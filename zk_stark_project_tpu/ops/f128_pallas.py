@@ -421,8 +421,11 @@ def ntt_stages_dif(x: jnp.ndarray, stw: jnp.ndarray, tw_ext: jnp.ndarray,
                 (8, rows, n), lambda i: (0, 0, 0),
                 memory_space=pltpu.VMEM))
         else:
-            # irregular split — materialize the full broadcast
-            scale = jnp.tile(scale, (1, b_pad // sb, 1))
+            # irregular split — materialize the full broadcast (ceil the
+            # repeat count: sb need not divide b_pad, and a short tile
+            # would fail the BlockSpec shape check)
+            reps = (b_pad + sb - 1) // sb
+            scale = jnp.tile(scale, (1, reps, 1))[:, :b_pad]
             in_specs.append(data_spec)
         args.append(scale)
     kern = functools.partial(_ntt_stages_dif_kernel, logn=logn, rows=rows,

@@ -208,6 +208,19 @@ def prove_many_chunked(airs: Sequence[Air], traces: Sequence) -> List[Proof]:
     if chunk >= c:
         return prove_many(airs, traces)
     kind = getattr(airs[0], "transition_kind", None)
+    # same homogeneity contract as prove_many — the pipelined fast path
+    # below calls dispatch_many_device per chunk, whose per-chunk asserts
+    # would miss a fleet heterogeneous ACROSS chunk boundaries
+    air0 = airs[0]
+    pat0 = [(a.col, a.step) for a in air0.get_assertions()]
+    for air, trace in zip(airs, traces):
+        assert type(air) is type(air0)
+        assert (air.trace_width, air.trace_length) == \
+            (air0.trace_width, air0.trace_length)
+        assert air.options == air0.options
+        assert [(a.col, a.step) for a in air.get_assertions()] == pat0
+        assert (trace.width, trace.length) == \
+            (air0.trace_width, air0.trace_length)
     if (kind is not None and phases.use_fused()
             and os.environ.get("ZKSTARK_DEVICE_TRANSCRIPT") != "0"):
         from .fused import collect_many_device, dispatch_many_device

@@ -142,6 +142,9 @@ def prove_big(air: Air, trace: TraceTable = None, col_block: int = 64,
     assert w * 16 > 1024, \
         "single-chunk rows need ROOT-flagged chunk_cv (width <= 64 fits " \
         "the standard provers anyway)"
+    assert col_block % 4 == 0, \
+        "col_block must be a multiple of 4: streamed leaf hashing feeds " \
+        "blake3 in 64-byte blocks (4 columns x 16 bytes)"
     blowup = opts.blowup_factor
     big_n = air.lde_domain_size
     log2_big = big_n.bit_length() - 1
