@@ -55,21 +55,30 @@ def main():
     log(f"warmup (cold, includes XLA/Mosaic compiles not in the "
         f"persistent cache): {time.time() - t0:.1f}s")
 
-    log("timed runs (best of 3)...")
-    elapsed = float("inf")
+    n_runs = int(os.environ.get("ZKSTARK_BENCH_RUNS", "10"))
+    log(f"timed runs (best of {n_runs}, spread recorded)...")
+    times = []
     size = 0
-    for i in range(3):
+    for i in range(n_runs):
         t0 = time.time()
         size = run_pipeline(devices, options, seed=2 + i)
-        elapsed = min(elapsed, time.time() - t0)
-    log(f"timed: {elapsed:.1f}s (best of 3), total bench time "
-        f"{time.time() - t_start:.1f}s, agg proof {size} bytes")
+        times.append(time.time() - t0)
+    best = min(times)
+    mean = sum(times) / len(times)
+    std = (sum((t - mean) ** 2 for t in times) / len(times)) ** 0.5
+    log(f"timed: best {best:.3f}s  mean {mean:.3f}s  std {std:.3f}s "
+        f"over {n_runs} runs ({', '.join(f'{t:.2f}' for t in times)}); "
+        f"total bench time {time.time() - t_start:.1f}s, "
+        f"agg proof {size} bytes")
 
     print(json.dumps({
         "metric": "stark_bs1_full_pipeline_seconds",
-        "value": round(elapsed, 3),
+        "value": round(best, 3),
         "unit": "s",
-        "vs_baseline": round(BASELINE_SECONDS / elapsed, 3),
+        "vs_baseline": round(BASELINE_SECONDS / best, 3),
+        "mean": round(mean, 3),
+        "std": round(std, 3),
+        "runs": n_runs,
     }))
 
 

@@ -26,6 +26,10 @@ def main(argv=None) -> int:
     ap.add_argument("--grinding", type=int, default=None)
     ap.add_argument("--col-block", type=int, default=32)
     ap.add_argument("--skip-verify", action="store_true")
+    ap.add_argument("--air", default="v1", choices=["v1", "v2"],
+                    help="v1 = reference-parity inert AIR (boundary-only "
+                         "streamed composition); v2 = sound SGD AIR "
+                         "(per-coset streamed transition constraints)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -59,17 +63,31 @@ def main(argv=None) -> int:
     xs = [[0] * FE for _ in range(bs)]
     y = [ml_math.label_to_one_hot(float(rng.integers(1, AC + 1)), AC, 1e6)
          for _ in range(bs)]
-    prover = TrainingUpdateProver(opts, w, b, ws, bsn, x, xs, y,
-                                  f64_to_felt(0.0001), f64_to_felt(1e6),
-                                  bs, rng=rng)
-
-    from ..models.training import build_polys_streamed
 
     t0 = time.perf_counter()
-    # block-streamed build: trace + masks + iNTT temps never coexist
-    # (the standard build OOMs 16 GB HBM at 2^20 rows); also computes
-    # the boundary rows so air() below needs no trace
-    polys = build_polys_streamed(prover)
+    if args.air == "v2":
+        from ..models.training_v2 import (TrainingUpdateV2Prover,
+                                          build_polys_streamed_v2,
+                                          signed_pair_to_natural)
+
+        state = [signed_pair_to_natural(w[j][i], ws[j][i])
+                 for j in range(AC) for i in range(FE)]
+        state += [signed_pair_to_natural(b[j], bsn[j]) for j in range(AC)]
+        prover = TrainingUpdateV2Prover(opts, state, x, y,
+                                        f64_to_felt(0.0001),
+                                        f64_to_felt(1e6), bs, rng=rng)
+        polys = build_polys_streamed_v2(prover)
+    else:
+        prover = TrainingUpdateProver(opts, w, b, ws, bsn, x, xs, y,
+                                      f64_to_felt(0.0001),
+                                      f64_to_felt(1e6), bs, rng=rng)
+
+        from ..models.training import build_polys_streamed
+
+        # block-streamed build: trace + masks + iNTT temps never coexist
+        # (the standard build OOMs 16 GB HBM at 2^20 rows); also computes
+        # the boundary rows so air() below needs no trace
+        polys = build_polys_streamed(prover)
     t_trace = time.perf_counter() - t0
     print(f"trace polys built (streamed): {t_trace:.1f}s", flush=True)
     air = prover.air()
@@ -98,6 +116,7 @@ def main(argv=None) -> int:
 
     print(json.dumps({
         "metric": "training_proof_2e20",
+        "air": args.air,
         "trace_rows": n, "bs": bs,
         "trace_build_seconds": round(t_trace, 2),
         "prove_seconds": round(t_prove, 2),

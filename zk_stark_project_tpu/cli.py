@@ -69,8 +69,8 @@ def _make_training_prover(device: EdgeDevice, bs: int, options: ProofOptions,
     (draws masks — call in device order to keep the RNG stream stable).
 
     `air_version`: "v1" = the reference-faithful masked AIR with inert
-    transitions (SURVEY.md pin #3); "v2" = the sound degree-2 SGD AIR
-    (`models/training_v2.py`), natural field encoding."""
+    transitions (SURVEY.md pin #3); "v2" = the sound SGD AIR with private
+    in-trace sample data (`models/training_v2.py`), natural encoding."""
     host_feats, host_labs = device.next_batch(SAMPLE_SIZE)
     if len(host_feats) < bs:
         if verbose:
@@ -179,7 +179,7 @@ def run_proof_pipeline(devices: List[EdgeDevice], bs: int,
         return [], 0, None
 
     if air_version == "v2":
-        # the sound AIR rides the generic (un-batched) prover path
+        # v2 traces carry private sample columns — host-built per device
         traces = [tp.build_trace() for tp in provers]
     elif phases.use_fused():
         stacked = build_traces_stacked(provers)
@@ -214,11 +214,9 @@ def run_proof_pipeline(devices: List[EdgeDevice], bs: int,
     total_size = 0
     airs = [tp.air() for tp in provers]
     t0 = time.time()
-    if air_version == "v2":
-        # no batched transition kernel — generic per-statement prover
-        proofs = [prove(a, t) for a, t in zip(airs, traces)]
-    else:
-        proofs = prove_many(airs, traces)
+    # v1 and v2 both ride the batched/fused prover (v2's sgd_v2 kernel:
+    # `prover/phases.py::TRANSITION_KERNELS`)
+    proofs = prove_many(airs, traces)
     gen_ms = int((time.time() - t0) * 1000)
     for i, air, proof in zip(indices, airs, proofs):
         verify(air, proof)
@@ -270,7 +268,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--air", default="v1", choices=["v1", "v2"],
                         help="training AIR: v1 = reference-faithful "
                              "(inert transitions, SURVEY.md pin #3); "
-                             "v2 = sound degree-2 SGD constraints "
+                             "v2 = sound SGD constraints, private "
+                             "in-trace sample data "
                              "(models/training_v2.py)")
     parser.add_argument("--multihost", action="store_true",
                         help="initialize jax.distributed (coordinator via "

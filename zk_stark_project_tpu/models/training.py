@@ -373,7 +373,8 @@ class TrainingUpdateProver:
 
 
 def build_polys_streamed(prover: "TrainingUpdateProver",
-                         col_block: int = 24) -> "jnp.ndarray":
+                         col_block: int = 24,
+                         host_chain: bool = None) -> "jnp.ndarray":
     """(8, 240, n) trace COEFFICIENT table for a huge-trace prover,
     assembled + interpolated column-block-wise so the 8 GB trace, its
     masks and the iNTT temporaries are never resident together (the
@@ -388,22 +389,43 @@ def build_polys_streamed(prover: "TrainingUpdateProver",
     n, bs = prover.trace_length, prover.batch_size
     half = 2 * ml_math.STATE_CELLS                     # 120
 
-    w0 = f128.from_ints(np.asarray(prover.initial_w, dtype=object))
-    ws0 = f128.from_ints(np.asarray(prover.w_sign, dtype=object))
-    b0 = f128.from_ints(np.asarray(prover.initial_b, dtype=object))
-    bs0 = f128.from_ints(np.asarray(prover.b_sign, dtype=object))
-    xb = f128.from_ints(np.asarray(prover.x_batch, dtype=object))
-    yb = f128.from_ints(np.asarray(prover.y_batch, dtype=object))
-    # eager per-sample chain (small jitted kernels; a fused scan graph is
-    # a pathological XLA compile — see `_raw_states_chain`)
-    w_seq, ws_seq, b_seq, bs_seq = _raw_states_chain(
-        (w0, ws0, b0, bs0), xb, yb, prover.learning_rate, prover.precision)
+    if host_chain is None:
+        host_chain = bs >= 256
+    if host_chain:
+        # host-int chain (the reference-semantics oracle,
+        # `ml_math.ref_sgd_step`): ~2 ms/step of python bigints vs
+        # ~200 ms/step of eager per-op device dispatches through a
+        # tunneled chip — the 2^20 north-star trace build went 1790 s ->
+        # tens of seconds.  Bit-equality with the device chain is pinned
+        # by `tests/test_big_prove.py::test_streamed_polys_host_chain`.
+        w, ws = prover.initial_w, prover.w_sign
+        b, bsn = prover.initial_b, prover.b_sign
+        rows_int = [ml_math.flatten_state_interleaved(w, ws, b, bsn)]
+        for i in range(bs):
+            w, ws, b, bsn = ml_math.ref_sgd_step(
+                w, ws, b, bsn, prover.x_batch[i], prover.x_batch_sign[i],
+                prover.y_batch[i], prover.learning_rate, prover.precision)
+            rows_int.append(ml_math.flatten_state_interleaved(w, ws, b,
+                                                              bsn))
+        states = f128.from_ints(np.asarray(rows_int, dtype=object))
+    else:
+        w0 = f128.from_ints(np.asarray(prover.initial_w, dtype=object))
+        ws0 = f128.from_ints(np.asarray(prover.w_sign, dtype=object))
+        b0 = f128.from_ints(np.asarray(prover.initial_b, dtype=object))
+        bs0 = f128.from_ints(np.asarray(prover.b_sign, dtype=object))
+        xb = f128.from_ints(np.asarray(prover.x_batch, dtype=object))
+        yb = f128.from_ints(np.asarray(prover.y_batch, dtype=object))
+        # eager per-sample chain (small jitted kernels; a fused scan graph
+        # is a pathological XLA compile — see `_raw_states_chain`)
+        w_seq, ws_seq, b_seq, bs_seq = _raw_states_chain(
+            (w0, ws0, b0, bs0), xb, yb, prover.learning_rate,
+            prover.precision)
 
-    def _cat(init, seq):
-        return jnp.concatenate([init[:, None], seq], axis=1)
+        def _cat(init, seq):
+            return jnp.concatenate([init[:, None], seq], axis=1)
 
-    states = _interleave_flatten(_cat(w0, w_seq), _cat(ws0, ws_seq),
-                                 _cat(b0, b_seq), _cat(bs0, bs_seq))
+        states = _interleave_flatten(_cat(w0, w_seq), _cat(ws0, ws_seq),
+                                     _cat(b0, b_seq), _cat(bs0, bs_seq))
     # states: (8, bs+1, 120) — row 0 = initial, row i = after sample i-1
 
     rowmap = jnp.asarray(np.minimum(np.arange(n), bs).astype(np.int32))
@@ -415,15 +437,20 @@ def build_polys_streamed(prover: "TrainingUpdateProver",
     def store_state_block(buf, state_cols, mask, rmap, start):
         raw = jnp.take(state_cols, rmap, axis=1)       # (8, n, B)
         vals = f128.add(raw, mask)
+        # stored PACKED: (4, W, n) canonical u32 words — half the HBM
+        # of the 8x16-bit limb form (the 2^20 table is 3.85 GB vs 7.7 GB;
+        # `prover/big._slice_cols` unpacks per streamed block)
         return _jax.lax.dynamic_update_slice(
-            buf, ntt.interpolate(jnp.swapaxes(vals, 1, 2)), (0, start, 0))
+            buf, f128.to_uint32_words(
+                ntt.interpolate(jnp.swapaxes(vals, 1, 2))), (0, start, 0))
 
     @functools.partial(_jax.jit, donate_argnums=(0,))
     def store_mask_block(buf, mask, start):
         return _jax.lax.dynamic_update_slice(
-            buf, ntt.interpolate(jnp.swapaxes(mask, 1, 2)), (0, start, 0))
+            buf, f128.to_uint32_words(
+                ntt.interpolate(jnp.swapaxes(mask, 1, 2))), (0, start, 0))
 
-    buf = jnp.zeros((8, 2 * half, n), jnp.uint32)
+    buf = jnp.zeros((4, 2 * half, n), jnp.uint32)
     for s in range(0, half, col_block):
         e = min(s + col_block, half)
         mask = jnp.asarray(_u64_masks_to_limbs(prover.masks[:, s:e]))

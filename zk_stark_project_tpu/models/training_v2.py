@@ -6,9 +6,9 @@ provably inert: `EvaluationFrameExt::current_step()` is a stub returning 0
 fires and `evaluate_transition` always emits zeros — only the two masked
 boundary assertions bind (SURVEY.md pin #3).  v1
 (`models/training.py`) replicates that faithfully for bit-parity; any
-trace with the right first and last masked rows verifies.  This module is
-the sound variant: the SGD step is an actual polynomial constraint and a
-tampered middle row kills the proof.
+trace with the right first and last masked rows verifies.  v2 makes the
+SGD step an actual polynomial constraint: a tampered state cell anywhere
+in the chain kills the proof.
 
 WHY IT IS NOT THE REFERENCE'S OP CHAIN.  The reference's *intended*
 constraints re-derive fwd/mse'/bwd with the non-associative signed pair
@@ -26,19 +26,46 @@ update is LINEAR in the state:
     w_ji  -= err_j * x_i / (lr * pr)                (same chain as
     b_j   -= err_j / lr                              src/helper.rs:345-401)
 
-Per-row sample data (x_i, y_j) and the "row applies a sample" selector are
-PERIODIC COLUMNS: public per-row values interpolated over the trace
-domain, evaluated by the prover over the constraint-evaluation coset and
-by the verifier at the out-of-domain point.  With raw = masked - mask the
-transition polynomial
+TRACE LAYOUT (width 135).  Cols [0,60) masked state (raw + mask, weights
+row-major then biases), [60,120) the masks (fresh u64 per cell per row),
+[120,129) the sample features x, [129,135) the one-hot labels y.  The
+sample batch is PRIVATE WITNESS: row i of the x/y columns carries sample
+i (zeros past the batch), committed in the trace like the ZoKrates
+circuit's `private field` arguments (`verification/zokrates/root.zok:146-156`)
+— it never appears in the public inputs, and the verifier reads its
+out-of-domain values from the trace frame, NOT from an O(n) periodic
+reconstruction.  The only periodic column is the public row selector
+`sel` (1 on rows < bs), which depends only on (bs, n); the verifier
+evaluates it at z with O(bs) work (`_sel_at`).
 
-    T_c = raw_next_c - raw_cur_c + sel * grad_c(raw_cur)
+With raw = masked - mask the transition polynomial per state cell c is
 
-has degree 4 counting every periodic factor (sel, x twice through
-err * x) like a trace factor, so ce_blowup = 4.  Trace: width 120 = 60
-masked state cells (weights row-major then biases) + 60 masks, fresh u64
-mask per cell per row; boundary assertions pin the masked initial and
-final state rows like the reference (`src/training/air.rs:141-147`).
+    T_c = raw_next_c - raw_cur_c + sel * grad_c(raw_cur, x_cur, y_cur)
+
+degree 4 for weight cells (sel * err * x: two trace factors in err's
+dot-product, one x factor, sel counted like a trace factor) and 3 for
+bias cells, so ce_blowup = 4.
+
+WHAT v2 PROVES — and the mask caveat.  Public inputs are the masked
+boundary rows (plus hyperparameters).  The transitions bind the CHAIN:
+there exist (initial raw state, sample batch, masks) such that the
+committed raw states follow bs honest SGD steps and hold afterwards, and
+raw + mask equals the public boundary rows.  Because the masks are
+themselves free witness (exactly as in the reference's trace,
+`src/training/prover.rs:117-130`), the public masked rows alone do not
+bind a UNIQUE raw chain — soundness against a prover who fabricates both
+chain and masks requires the masks to be bound externally (e.g. the FL
+round protocol deriving them from a committed per-round seed).  Opt-in
+`public_masks=True` performs that binding in-proof: the boundary mask
+rows become public inputs pinned by assertions, making the raw boundary
+states publicly computable (masked - mask) — fully binding, at the cost
+of model privacy.  Choose per deployment; the default keeps the
+reference's hiding behavior.
+
+Trace length defaults to the v1 formula max(16, next_pow2(120*bs))
+(`src/training/prover.rs:65`) so v2 proofs are size-comparable with v1's
+at the same CLI settings; pass `trace_length=` to size it as tightly as
+next_pow2(bs + 1) (the chain writes only bs+1 distinct rows).
 """
 
 from __future__ import annotations
@@ -61,6 +88,12 @@ from .training import trace_length_for
 
 P = ref.P
 D_STATE = AC * FE + AC          # 60 raw state cells
+X0 = 2 * D_STATE                # first sample-feature column
+Y0 = X0 + FE                    # first label column
+# one unconstrained zero pad column brings the width to 136 so the
+# tensor-parallel prover can shard columns over 2/4/8-device meshes
+# (`parallel/tp_prove.py` requires width % mesh == 0); 135 is odd
+WIDTH = Y0 + AC + 1             # 136
 
 
 def _sgd_step(state: List[int], x: List[int], y: List[int],
@@ -87,102 +120,121 @@ def _sgd_step(state: List[int], x: List[int], y: List[int],
     return out_w + out_b
 
 
-def _lagrange_at(rows_len: int, z: int) -> List[int]:
-    """L_i(z) for the size-n trace domain <g>, barycentric:
-    L_i(z) = (z^n - 1) * g^i / (n * (z - g^i))."""
-    n = rows_len
+def _sel_at(n: int, bs: int, z: int) -> int:
+    """sel(z) = sum_{i<bs} L_i(z) over the size-n trace domain,
+    barycentric: L_i(z) = (z^n - 1) * g^i / (n * (z - g^i)).  Only the
+    first bs terms are materialized — verifier cost is O(bs), independent
+    of the trace length."""
     g = ref.root_of_unity(n.bit_length() - 1)
     zn1 = (pow(z, n, P) - 1) % P
-    inv_n = ref.inv(n)
     gi = 1
     gis, dens = [], []
-    for _ in range(n):
+    for _ in range(bs):
         gis.append(gi)
         dens.append((z - gi) % P)
         gi = (gi * g) % P
     if zn1 == 0:
-        # z IS a domain point (only reachable from tests; the verifier's z
-        # is an out-of-domain draw): L_i is the indicator
-        return [1 if d == 0 else 0 for d in dens]
+        # z IS a domain point (only reachable from tests; the verifier's
+        # z is an out-of-domain draw): sel is the indicator of rows < bs
+        return 1 if any(d == 0 for d in dens) else 0
     dinvs = ref.batch_inv(dens)
-    scale = (zn1 * inv_n) % P
-    return [(scale * gis[i] % P) * dinvs[i] % P for i in range(n)]
+    scale = (zn1 * ref.inv(n)) % P
+    return sum((scale * gis[i] % P) * dinvs[i] for i in range(bs)) % P
 
 
 class TrainingUpdateV2Air(Air):
-    """Sound SGD-step AIR (degree-2 constraints, periodic sample columns)."""
+    """Sound SGD-step AIR — private in-trace sample data, periodic `sel`
+    selector, batched device kernel `sgd_v2`
+    (`prover/phases.py::TRANSITION_KERNELS`)."""
 
-    #: the verifier must pass the evaluation point (periodic columns)
+    #: the verifier passes the evaluation point z (for sel(z))
     needs_point = True
+    #: batched transition kernel — v2 rides the fused/batched/tp provers
+    transition_kind = "sgd_v2"
 
     def __init__(self, trace_length: int, pub_inputs: "TrainingV2Inputs",
                  options: ProofOptions):
-        super().__init__(trace_width=2 * D_STATE, trace_length=trace_length,
+        super().__init__(trace_width=WIDTH, trace_length=trace_length,
                          options=options)
         self.pub_inputs = pub_inputs
-        # degree counts every periodic factor like a trace factor: the
-        # weight constraints are sel * err * x with err containing one
-        # trace factor and one periodic factor -> 4 (so ce_blowup = 4;
-        # declaring 2 undersamples the CE domain and the OOD composition
-        # check fails — found the hard way)
-        self.transition_degrees = [4] * D_STATE
+        # degree counts the periodic sel factor like a trace factor:
+        # weight constraints are sel * err * x with err carrying the
+        # deg-2 w.x dot product -> 4 (ce_blowup = 4; declaring less
+        # undersamples the CE domain and the OOD check fails)
+        self.transition_degrees = [4] * (AC * FE) + [3] * AC
         self._periodic_cache = {}
 
-    # -- periodic columns ---------------------------------------------------
+    # -- periodic column (public: depends only on bs and n) -----------------
 
-    def _periodic_rows(self):
-        """(sel, x_cols, y_cols): per-row python ints, each length n."""
-        pi = self.pub_inputs
+    def periodic_rows(self) -> np.ndarray:
+        """(1, n) object ints: sel = 1 on rows < bs else 0."""
         n = self.trace_length
-        bs = pi.batch_size
-        sel = [1 if i < bs else 0 for i in range(n)]
-        x_cols = [[pi.x_batch[i][f] if i < bs else 0 for i in range(n)]
-                  for f in range(FE)]
-        y_cols = [[pi.y_batch[i][j] if i < bs else 0 for i in range(n)]
-                  for j in range(AC)]
-        return sel, x_cols, y_cols
+        bs = self.pub_inputs.batch_size
+        return np.asarray(
+            [[1 if i < bs else 0 for i in range(n)]], dtype=object)
 
-    def _periodic_evals(self, blowup: int):
-        """(8, 1+FE+AC, D) coset evaluations of the periodic columns."""
+    def _periodic_evals(self, blowup: int) -> jnp.ndarray:
+        """(8, 1, blowup*n) coset evaluations of sel (fallback for callers
+        that do not precompute periodic evals)."""
         if blowup not in self._periodic_cache:
-            sel, x_cols, y_cols = self._periodic_rows()
-            rows = np.asarray([sel] + x_cols + y_cols, dtype=object)
-            polys = ntt.interpolate(f128.from_ints(rows))
+            polys = ntt.interpolate(f128.from_ints(self.periodic_rows()))
             self._periodic_cache[blowup] = ntt.coset_evaluate(
                 polys, self.domain_offset, blowup)
         return self._periodic_cache[blowup]
 
     # -- Air interface ------------------------------------------------------
 
+    def transition_params(self):
+        pi = self.pub_inputs
+        return {
+            "inv_pr": ref.inv(pi.precision),
+            "inv_lr": ref.inv(pi.learning_rate),
+            "two_ac": (f64_to_felt(2.0)
+                       * ref.inv(f64_to_felt(float(AC)))) % P,
+            "inv_lrpr": (ref.inv(pi.learning_rate)
+                         * ref.inv(pi.precision)) % P,
+        }
+
     def get_assertions(self) -> List[Assertion]:
         pi = self.pub_inputs
         last = self.trace_length - 1
-        return ([Assertion(c, 0, pi.initial_masked[c])
-                 for c in range(D_STATE)]
-                + [Assertion(c, last, pi.final_masked[c])
-                   for c in range(D_STATE)])
+        out = ([Assertion(c, 0, pi.initial_masked[c])
+                for c in range(D_STATE)]
+               + [Assertion(c, last, pi.final_masked[c])
+                  for c in range(D_STATE)])
+        if pi.initial_mask is not None:
+            # public-mask binding mode: pin the boundary mask rows too
+            out += [Assertion(D_STATE + c, 0, pi.initial_mask[c])
+                    for c in range(D_STATE)]
+            out += [Assertion(D_STATE + c, last, pi.final_mask[c])
+                    for c in range(D_STATE)]
+        return out
 
-    def evaluate_transitions_jax(self, cur: jnp.ndarray,
-                                 nxt: jnp.ndarray) -> jnp.ndarray:
+    def evaluate_transitions_jax(self, cur: jnp.ndarray, nxt: jnp.ndarray,
+                                 periodic: jnp.ndarray = None
+                                 ) -> jnp.ndarray:
+        """(8, W, D) frames (+ optional (8, 1, D) sel evals) ->
+        (8, 60, D).  Same math as the batched `sgd_v2` kernel
+        (`prover/phases.py::_transitions_sgd_v2`), single statement."""
         pi = self.pub_inputs
         d_dom = cur.shape[-1]
-        blowup = d_dom // self.trace_length
-        pe = self._periodic_evals(blowup)
-        sel = pe[:, 0]                                   # (8, D)
-        x_e = pe[:, 1:1 + FE]                            # (8, FE, D)
-        y_e = pe[:, 1 + FE:]                             # (8, AC, D)
+        if periodic is None:
+            blowup = d_dom // self.trace_length
+            periodic = self._periodic_evals(blowup)
+        sel = periodic[:, 0]                             # (8, D)
+        x_e = cur[:, X0:Y0]                              # (8, FE, D)
+        y_e = cur[:, Y0:Y0 + AC]                         # (8, AC, D)
 
-        raw_cur = f128.sub(cur[:, :D_STATE], cur[:, D_STATE:])
-        raw_nxt = f128.sub(nxt[:, :D_STATE], nxt[:, D_STATE:])
+        raw_cur = f128.sub(cur[:, :D_STATE], cur[:, D_STATE:X0])
+        raw_nxt = f128.sub(nxt[:, :D_STATE], nxt[:, D_STATE:X0])
         w_cur = raw_cur[:, :AC * FE].reshape(8, AC, FE, d_dom)
         b_cur = raw_cur[:, AC * FE:]                     # (8, AC, D)
 
-        c_inv_pr = f128.from_int(ref.inv(pi.precision))
-        c_inv_lr = f128.from_int(ref.inv(pi.learning_rate))
-        c_2ac = f128.from_int(
-            (f64_to_felt(2.0) * ref.inv(f64_to_felt(float(AC)))) % P)
-        c_inv_lrpr = f128.from_int(
-            ref.inv(pi.learning_rate) * ref.inv(pi.precision) % P)
+        p_ = self.transition_params()
+        c_inv_pr = f128.from_int(p_["inv_pr"])
+        c_inv_lr = f128.from_int(p_["inv_lr"])
+        c_2ac = f128.from_int(p_["two_ac"])
+        c_inv_lrpr = f128.from_int(p_["inv_lrpr"])
 
         prod = f128.mul(w_cur, x_e[:, None])             # (8, AC, FE, D)
         dot = prod[:, :, 0]
@@ -206,20 +258,15 @@ class TrainingUpdateV2Air(Air):
         assert z is not None, "v2 transitions need the evaluation point"
         pi = self.pub_inputs
         n = self.trace_length
-        sel_rows, x_cols, y_cols = self._periodic_rows()
-        lag = _lagrange_at(n, z)
-        bs = pi.batch_size
-        sel = sum(lag[i] for i in range(bs)) % P
-        x_z = [sum(x_cols[f][i] * lag[i] for i in range(bs)) % P
-               for f in range(FE)]
-        y_z = [sum(y_cols[j][i] * lag[i] for i in range(bs)) % P
-               for j in range(AC)]
+        sel = _sel_at(n, pi.batch_size, z)
+        x_z = [cur[X0 + i] % P for i in range(FE)]       # from the frame
+        y_z = [cur[Y0 + j] % P for j in range(AC)]
 
         raw_cur = [(cur[c] - cur[D_STATE + c]) % P for c in range(D_STATE)]
         raw_nxt = [(nxt[c] - nxt[D_STATE + c]) % P for c in range(D_STATE)]
-        inv_pr = ref.inv(pi.precision)
-        inv_lr = ref.inv(pi.learning_rate)
-        two_over_ac = (f64_to_felt(2.0) * ref.inv(f64_to_felt(float(AC)))) % P
+        p_ = self.transition_params()
+        inv_pr, inv_lr = p_["inv_pr"], p_["inv_lr"]
+        two_over_ac = p_["two_ac"]
 
         out = [0] * D_STATE
         for j in range(AC):
@@ -242,33 +289,35 @@ class TrainingUpdateV2Air(Air):
 
 
 class TrainingV2Inputs:
-    """Public inputs: masked boundary rows + the sample batch (public —
-    it feeds the periodic columns) + hyperparameters."""
+    """Public inputs: masked boundary rows + hyperparameters.  The sample
+    batch is NOT here — it is private witness in the trace (module
+    docstring).  `initial_mask`/`final_mask` are set only in the
+    public-mask binding mode."""
 
     def __init__(self, initial_masked: List[int], final_masked: List[int],
-                 x_batch: List[List[int]], y_batch: List[List[int]],
                  learning_rate: int, precision: int, batch_size: int,
-                 steps: int):
+                 steps: int, initial_mask: Optional[List[int]] = None,
+                 final_mask: Optional[List[int]] = None):
         self.initial_masked = [v % P for v in initial_masked]
         self.final_masked = [v % P for v in final_masked]
-        self.x_batch = [[v % P for v in row] for row in x_batch]
-        self.y_batch = [[v % P for v in row] for row in y_batch]
         self.learning_rate = learning_rate % P
         self.precision = precision % P
         self.batch_size = batch_size
         self.steps = steps
+        self.initial_mask = ([v % P for v in initial_mask]
+                             if initial_mask is not None else None)
+        self.final_mask = ([v % P for v in final_mask]
+                           if final_mask is not None else None)
 
     def to_elements(self) -> List[int]:
         """Documented order (self-defined; v2 has no reference twin):
-        [2 (version), steps, batch_size, lr, pr] ++ initial ++ final ++
-        flat x ++ flat y."""
+        [2 (version), steps, batch_size, lr, pr] ++ initial ++ final
+        (++ initial_mask ++ final_mask in public-mask mode)."""
         out = [2, self.steps, self.batch_size, self.learning_rate,
                self.precision]
         out += self.initial_masked + self.final_masked
-        for row in self.x_batch:
-            out += row
-        for row in self.y_batch:
-            out += row
+        if self.initial_mask is not None:
+            out += self.initial_mask + self.final_mask
         return [v % P for v in out]
 
 
@@ -280,7 +329,9 @@ class TrainingUpdateV2Prover:
                  x_batch: List[List[int]], y_batch: List[List[int]],
                  learning_rate: int, precision: int, batch_size: int,
                  rng: Optional[np.random.Generator] = None,
-                 masks: Optional[np.ndarray] = None):
+                 masks: Optional[np.ndarray] = None,
+                 public_masks: bool = False,
+                 trace_length: Optional[int] = None):
         assert len(initial_state) == D_STATE
         assert len(x_batch) == batch_size and len(y_batch) == batch_size
         self.options = options
@@ -290,7 +341,15 @@ class TrainingUpdateV2Prover:
         self.learning_rate = learning_rate % P
         self.precision = precision % P
         self.batch_size = batch_size
-        self.trace_length = trace_length_for(batch_size)
+        self.public_masks = public_masks
+        if trace_length is None:
+            # v1-parity sizing (`src/training/prover.rs:65`) so v2 proofs
+            # are comparable at the same CLI settings; the chain itself
+            # needs only next_pow2(bs + 1) rows
+            trace_length = trace_length_for(batch_size)
+        assert trace_length & (trace_length - 1) == 0
+        assert trace_length >= max(16, batch_size + 1)
+        self.trace_length = trace_length
         if masks is None:
             rng = rng if rng is not None else np.random.default_rng()
             masks = rng.integers(0, 2 ** 64,
@@ -308,43 +367,111 @@ class TrainingUpdateV2Prover:
                 state = _sgd_step(state, self.x_batch[i], self.y_batch[i],
                                   self.learning_rate, self.precision)
                 rows.append(list(state))
-            while len(rows) < self.trace_length:
-                rows.append(list(state))
             self._rows = rows
         return self._rows
 
-    def build_trace(self) -> TraceTable:
+    def _state_row(self, i: int) -> List[int]:
         rows = self._raw_rows()
+        return rows[min(i, self.batch_size)]     # held after bs steps
+
+    def build_trace(self) -> TraceTable:
         n = self.trace_length
-        data = np.zeros((n, 2 * D_STATE), dtype=object)
+        bs = self.batch_size
+        data = np.zeros((n, WIDTH), dtype=object)
         for i in range(n):
+            row = self._state_row(i)
             for c in range(D_STATE):
                 m = int(self.masks[i, c])
-                data[i, c] = (rows[i][c] + m) % P
+                data[i, c] = (row[c] + m) % P
                 data[i, D_STATE + c] = m
+            if i < bs:
+                for f in range(FE):
+                    data[i, X0 + f] = self.x_batch[i][f]
+                for j in range(AC):
+                    data[i, Y0 + j] = self.y_batch[i][j]
         return TraceTable(f128.from_ints(data.T))
 
     def pub_inputs(self) -> TrainingV2Inputs:
-        rows = self._raw_rows()
         n = self.trace_length
-        initial_masked = [(rows[0][c] + int(self.masks[0, c])) % P
+        first = self._state_row(0)
+        last = self._state_row(n - 1)
+        initial_masked = [(first[c] + int(self.masks[0, c])) % P
                           for c in range(D_STATE)]
-        final_masked = [(rows[n - 1][c] + int(self.masks[n - 1, c])) % P
+        final_masked = [(last[c] + int(self.masks[n - 1, c])) % P
                         for c in range(D_STATE)]
-        return TrainingV2Inputs(initial_masked, final_masked, self.x_batch,
-                                self.y_batch, self.learning_rate,
-                                self.precision, self.batch_size, n)
+        im = fm = None
+        if self.public_masks:
+            im = [int(self.masks[0, c]) for c in range(D_STATE)]
+            fm = [int(self.masks[n - 1, c]) for c in range(D_STATE)]
+        return TrainingV2Inputs(initial_masked, final_masked,
+                                self.learning_rate, self.precision,
+                                self.batch_size, n, im, fm)
 
     def client_rep(self) -> int:
         """Masked trace cell (0, last) — same per-client scalar rep
         convention as v1 (`src/main.rs:260`)."""
-        rows = self._raw_rows()
         n = self.trace_length
-        return (rows[n - 1][0] + int(self.masks[n - 1, 0])) % P
+        return (self._state_row(n - 1)[0] + int(self.masks[n - 1, 0])) % P
 
     def air(self) -> TrainingUpdateV2Air:
         return TrainingUpdateV2Air(self.trace_length, self.pub_inputs(),
                                    self.options)
+
+
+def build_polys_streamed_v2(prover: TrainingUpdateV2Prover,
+                            col_block: int = 32) -> jnp.ndarray:
+    """(8, 136, n) trace COEFFICIENT table for a huge v2 trace, built
+    column-block-wise on device (the object-array `build_trace` is host
+    bigints — minutes at 2^18+).  The raw SGD chain itself is host-int
+    (`_sgd_step`, only bs+1 distinct rows); everything O(n) — row
+    expansion, masking, iNTT — runs on device with buffer donation.
+    Feed the result to `prover.big.prove_big(polys=...)`."""
+    import functools
+
+    import jax as _jax
+
+    from .training import _u64_masks_to_limbs
+
+    n, bs = prover.trace_length, prover.batch_size
+    rows = prover._raw_rows()                       # (bs+1) x 60 host ints
+    states = f128.from_ints(np.asarray(rows, dtype=object))  # (8,bs+1,60)
+    rowmap = jnp.asarray(np.minimum(np.arange(n), bs).astype(np.int32))
+
+    @functools.partial(_jax.jit, donate_argnums=(0,))
+    def store_masked_block(buf, state_cols, mask, rmap, start):
+        raw = jnp.take(state_cols, rmap, axis=1)    # (8, n, B)
+        vals = f128.add(raw, mask)
+        # stored PACKED as (4, W, n) canonical words (see the v1 builder)
+        return _jax.lax.dynamic_update_slice(
+            buf, f128.to_uint32_words(
+                ntt.interpolate(jnp.swapaxes(vals, 1, 2))), (0, start, 0))
+
+    @functools.partial(_jax.jit, donate_argnums=(0,))
+    def store_plain_block(buf, vals_cols, start):
+        return _jax.lax.dynamic_update_slice(
+            buf, f128.to_uint32_words(ntt.interpolate(vals_cols)),
+            (0, start, 0))
+
+    buf = jnp.zeros((4, WIDTH, n), jnp.uint32)
+    for s in range(0, D_STATE, col_block):
+        e = min(s + col_block, D_STATE)
+        mask = jnp.asarray(_u64_masks_to_limbs(prover.masks[:, s:e]))
+        buf = store_masked_block(buf, states[:, :, s:e], mask, rowmap,
+                                 jnp.int32(s))
+        buf = store_plain_block(buf, jnp.swapaxes(mask, 1, 2),
+                                jnp.int32(D_STATE + s))
+    # sample columns: rows < bs carry the batch, zeros after (pad col
+    # WIDTH-1 stays the zero polynomial)
+    xy = np.zeros((bs, FE + AC), dtype=object)
+    for i in range(bs):
+        xy[i, :FE] = prover.x_batch[i]
+        xy[i, FE:] = prover.y_batch[i]
+    xy_l = f128.from_ints(xy)                        # (8, bs, 15)
+    data_cols = jnp.zeros((8, FE + AC, n), jnp.uint32)
+    data_cols = data_cols.at[:, :, :bs].set(jnp.swapaxes(xy_l, 1, 2))
+    buf = store_plain_block(buf, data_cols, jnp.int32(X0))
+    buf.block_until_ready()
+    return buf
 
 
 def signed_pair_to_natural(v: int, s: int) -> int:

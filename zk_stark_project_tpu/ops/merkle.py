@@ -29,13 +29,36 @@ class MerkleTree:
     levels[0] = leaves (N, 8) uint32; levels[-1] = root (1, 8).
     """
 
+    #: above this many leaves, level merges run SEGMENTED and SERIALIZED:
+    #: async dispatch otherwise enqueues every level's jitted merge at
+    #: once and their in/out buffers are ALL live until executed — the
+    #: 2^24-leaf trace tree of the 2^20 north-star proof OOM'd next to
+    #: the resident coefficient table (measured; bounded it fits).  Small
+    #: trees stay fully async (the latency-bound regime).
+    SYNC_LEAVES = 1 << 21
+    SEG_PAIRS = 1 << 20
+
     def __init__(self, leaves: jnp.ndarray):
         n = leaves.shape[0]
         assert n & (n - 1) == 0 and n >= 1, "leaf count must be a power of two"
+        sync = n > self.SYNC_LEAVES
         levels = [leaves]
         cur = leaves
         while cur.shape[0] > 1:
-            cur = b3.merge(cur[0::2], cur[1::2])
+            pairs = cur.reshape(-1, 16)     # row = left||right words
+            m = pairs.shape[0]
+            if not sync or m <= self.SEG_PAIRS:
+                cur = b3.merge(pairs[:, :8], pairs[:, 8:])
+                if sync and cur.shape[0] > 1024:
+                    cur.block_until_ready()
+            else:
+                segs = []
+                for s in range(0, m, self.SEG_PAIRS):
+                    seg = b3.merge(pairs[s:s + self.SEG_PAIRS, :8],
+                                   pairs[s:s + self.SEG_PAIRS, 8:])
+                    seg.block_until_ready()
+                    segs.append(seg)
+                cur = jnp.concatenate(segs)
             levels.append(cur)
         self.levels = levels
 

@@ -146,7 +146,7 @@ def tp_trace_lde_commit(stacked: jnp.ndarray, blowup: int, offset: int,
 @functools.lru_cache(maxsize=None)
 def _composition_fn(mesh: Mesh, ax: str, kind: str, n: int, ce_blowup: int,
                     m: int, offset: int, step_groups, blowup: int, c: int,
-                    tparam_meta):
+                    tparam_meta, n_periodic: int = 0):
     d = mesh.shape[ax]
     d_ce = n * ce_blowup
     big_n = n * blowup
@@ -154,7 +154,8 @@ def _composition_fn(mesh: Mesh, ax: str, kind: str, n: int, ce_blowup: int,
     g_last_np = phases._ints_to_limbs_np([pow(g, n - 1, ref.P)])
 
     def kernel(polys_block, tparams_k, alphas_t_k, group_alphas_k,
-               group_vals_k, domain_l, zer_inv_l, lin_inv_l):
+               group_vals_k, domain_l, zer_inv_l, lin_inv_l,
+               periodic_l=None):
         # polys_block: (8, C, W/D, n) — CE evaluate + reshard to domain
         ce_l = ntt.coset_evaluate(polys_block, offset, ce_blowup)
         ce = jax.lax.all_to_all(ce_l, ax, split_axis=3, concat_axis=2,
@@ -168,6 +169,8 @@ def _composition_fn(mesh: Mesh, ax: str, kind: str, n: int, ce_blowup: int,
             recv = jax.lax.ppermute(
                 lead, ax, [((i + 1) % d, i) for i in range(d)])
             nxt = jnp.concatenate([ce[..., ce_blowup:], recv], axis=-1)
+            if periodic_l is not None:
+                tparams_k = dict(tparams_k, periodic_ce=periodic_l)
             tvals = phases.TRANSITION_KERNELS[kind](ce, nxt, tparams_k)
             t_comb = poly.combine_axis(tvals, alphas_t_k, 2)
             g_last = jnp.asarray(g_last_np).reshape(8, 1, 1)
@@ -201,10 +204,14 @@ def _composition_fn(mesh: Mesh, ax: str, kind: str, n: int, ce_blowup: int,
     n_groups = len(step_groups)
     ga_specs = tuple(P(None, None, None) for _ in range(n_groups))
     gv_specs = tuple(P(None, None, None) for _ in range(n_groups))
+    in_specs = (col_spec, tp_specs, P(None, None, None), ga_specs,
+                gv_specs, dom_spec, dom_spec, P(None, None, ax))
+    if n_periodic:
+        # periodic CE evals ride domain-sharded like lin_inv
+        in_specs = in_specs + (P(None, None, ax),)
     return jax.jit(jax.shard_map(
         kernel, mesh=mesh,
-        in_specs=(col_spec, tp_specs, P(None, None, None), ga_specs,
-                  gv_specs, dom_spec, dom_spec, P(None, None, ax)),
+        in_specs=in_specs,
         out_specs=(rep4, rep4) + (lvl_spec,) * n_local_levels,
         check_vma=False))
 
@@ -352,7 +359,7 @@ class TpPhases:
 
     def composition_commit(self, kind, n, ce_blowup, m, offset, step_groups,
                            blowup, trace_polys, tparams, alphas_t,
-                           group_alphas, group_vals):
+                           group_alphas, group_vals, periodic=None):
         d = self.d
         c, w = trace_polys.shape[1], trace_polys.shape[2]
         d_ce = n * ce_blowup
@@ -361,7 +368,8 @@ class TpPhases:
                 or (d_ce // d) < ce_blowup or (d_ce // d) & (d_ce // d - 1)):
             return phases.composition_commit(
                 kind, n, ce_blowup, m, offset, step_groups, blowup,
-                trace_polys, tparams, alphas_t, group_alphas, group_vals)
+                trace_polys, tparams, alphas_t, group_alphas, group_vals,
+                periodic)
 
         log2_dce = d_ce.bit_length() - 1
         domain_t = jnp.asarray(phases._domain_np(log2_dce, offset))
@@ -371,10 +379,19 @@ class TpPhases:
         lin_inv_t = jnp.asarray(
             phases._lin_inv_np(n, ce_blowup, offset, steps))
         tparam_meta = tuple(sorted((k, v.ndim) for k, v in tparams.items()))
+        n_periodic = 0 if periodic is None else periodic.shape[1]
         fn = _composition_fn(self.mesh, self.axis, kind, n, ce_blowup, m,
-                             offset, step_groups, blowup, c, tparam_meta)
-        out = fn(trace_polys, tparams, alphas_t, group_alphas, group_vals,
-                 domain_t, zer_inv_t, lin_inv_t)
+                             offset, step_groups, blowup, c, tparam_meta,
+                             n_periodic)
+        args = (trace_polys, tparams, alphas_t, group_alphas, group_vals,
+                domain_t, zer_inv_t, lin_inv_t)
+        if periodic is not None:
+            # CE-evaluate the (tiny) periodic columns replicated, then
+            # hand them to the sharded kernel domain-sharded
+            pe = ntt.coset_evaluate(ntt.interpolate(periodic), offset,
+                                    ce_blowup)           # (8, n_p, Dce)
+            args = args + (pe,)
+        out = fn(*args)
         comp_cols, comp_lde = out[0], out[1]
         levels = _finish_levels(out[2:])
         return comp_cols, comp_lde, levels

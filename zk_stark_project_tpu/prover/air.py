@@ -64,6 +64,15 @@ class Air:
         are batched)."""
         return {}
 
+    def periodic_rows(self):
+        """Optional PUBLIC periodic columns: an (n_p, n) object-int array
+        of per-row values over the trace domain (e.g. the v2 row
+        selector), or None.  Provers CE-evaluate them and pass the result
+        to the transition kernel as params["periodic_ce"]; batched proofs
+        require identical periodic rows across the batch (they must
+        depend only on shape-level public inputs)."""
+        return None
+
     def __init__(self, trace_width: int, trace_length: int,
                  options: ProofOptions):
         assert trace_length & (trace_length - 1) == 0

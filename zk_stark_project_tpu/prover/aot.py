@@ -57,7 +57,7 @@ def _source_fingerprint() -> str:
     """
     import inspect
 
-    from ..models import aggregation, ml_math, training
+    from ..models import aggregation, ml_math, training, training_v2
     from ..ops import blake3, f128, f128_pallas, f128_ref, merkle, mimc, ntt
     from ..ops import pow_pallas, signed
     from . import batch, channel, device_coin, fri, fused, phases, poly
@@ -68,7 +68,7 @@ def _source_fingerprint() -> str:
     for mod in (blake3, f128, f128_pallas, f128_ref, merkle, mimc, ntt,
                 pow_pallas, signed, batch, channel, device_coin, fri, fused,
                 phases, poly, proof_mod, stark, aggregation, ml_math,
-                training):
+                training, training_v2):
         try:
             h.update(inspect.getsource(mod).encode())
         except (OSError, TypeError):

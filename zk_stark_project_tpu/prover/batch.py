@@ -156,6 +156,19 @@ def _stack_params(airs: Sequence[Air]):
     return out
 
 
+def _stack_periodic(airs: Sequence[Air]):
+    """Shared (8, n_p, n) periodic-column limbs for a batch (or None).
+    Periodic rows must be identical across the batch — they may depend
+    only on public shape-level inputs (batch size, trace length)."""
+    rows0 = airs[0].periodic_rows()
+    if rows0 is None:
+        return None
+    for air in airs[1:]:
+        assert np.array_equal(air.periodic_rows(), rows0), \
+            "batched proving requires identical periodic columns"
+    return f128.from_ints(rows0)
+
+
 def _roots_of(levels) -> List[bytes]:
     """Pull the C roots of an in-graph level stack (ONE transfer — this is
     the per-phase transcript sync point)."""
@@ -328,9 +341,10 @@ def prove_many(airs: Sequence[Air], traces: Sequence,
         _stack_felts([[a_list[j].value for (j, _, _) in groups[s]]
                       for a_list in all_assertions]) for s in steps)
     tparams = _stack_params(airs)
+    periodic = _stack_periodic(airs)
     comp_cols, comp_lde, comp_levels = impl.composition_commit(
         kind, n, air0.ce_blowup, m, offset, step_groups, opts.blowup_factor,
-        trace_polys, tparams, alphas_t, group_alphas, group_vals)
+        trace_polys, tparams, alphas_t, group_alphas, group_vals, periodic)
     comp_roots = _roots_of(comp_levels)
     for ch, root in zip(channels, comp_roots):
         ch.reseed_root(root)

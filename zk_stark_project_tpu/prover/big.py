@@ -16,9 +16,14 @@ working set:
     1024-byte chunk) via `ops/blake3.chunk_cv`, so only a 64-column
     block's coset evaluation (2 GB) is ever resident; chunk CVs merge
     into leaf digests, scattered into the (2^24, 8) leaf array;
-  * composition: requires `all_transitions_zero` (the v1 training AIR,
-    SURVEY.md pin #3) — boundary quotients accumulate per column block
-    over the CE domain;
+  * composition: for the inert v1 AIR (SURVEY.md pin #3) boundary
+    quotients accumulate per column block over the CE domain; AIRs with
+    REAL transition constraints (e.g. the sound v2) stream per
+    interleaved coset of the trace subgroup instead
+    (`_streamed_transition_quotient`) — within a coset the next-row
+    frame is a roll, so arbitrary constraints evaluate at any trace
+    size, like winterfell's DefaultConstraintEvaluator
+    (`src/training/prover.rs:230-231`);
   * OOD / DEEP: gamma-combined trace polynomials are accumulated per
     block into TWO n-length coefficient vectors, then ONE blowup-16
     evaluation each builds the DEEP numerators (equivalent to
@@ -74,6 +79,20 @@ def _inplace_intt_block(buf: jnp.ndarray, start: jnp.ndarray,
         buf, ntt.interpolate(blk), (0, start, 0))
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _slice_cols(polys: jnp.ndarray, start: jnp.ndarray,
+                block: int) -> jnp.ndarray:
+    """Columns [start, start+block) of the coefficient table as (8, B, n)
+    red128 limbs.  The table may be stored PACKED as (4, W, n) canonical
+    u32 words — half the bytes of the 8x16-bit limb form; at 2^20 x 240
+    columns the unpacked table alone (7.7 GB) left no headroom on the
+    chip (measured ~10 GB usable HBM through the tunnel)."""
+    lead = polys.shape[0]
+    blk = jax.lax.dynamic_slice(polys, (0, start, 0),
+                                (lead, block, polys.shape[2]))
+    return f128.from_uint32_words(blk) if lead == 4 else blk
+
+
 @jax.jit
 def _coset_eval_words(polys_blk: jnp.ndarray,
                       coset_offset_limbs) -> jnp.ndarray:
@@ -117,12 +136,120 @@ def _accum_combine(acc: jnp.ndarray, blk: jnp.ndarray,
     return f128.add(acc, poly.combine(blk, coeffs))
 
 
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+def _eval_coset_block(buf: jnp.ndarray, scaled_blk: jnp.ndarray,
+                      start: jnp.ndarray, _b: int) -> jnp.ndarray:
+    """buf[:, start:start+B] = NTT(scaled coeff block) (donated buffer)."""
+    return jax.lax.dynamic_update_slice(
+        buf, ntt.ntt(scaled_blk), (0, start, 0))
+
+
+def _streamed_transition_quotient(air: Air, polys: jnp.ndarray,
+                                  alphas, col_block: int,
+                                  row_chunks: int = 4, throttle=None):
+    """Transition + boundary quotients over the CE domain for an AIR with
+    REAL transition constraints, evaluated per interleaved coset of the
+    trace subgroup so the full (W, D_ce) frame table never materializes.
+
+    The CE domain (size n * ce_blowup, coset of offset) splits into
+    ce_blowup interleaved cosets of the n-subgroup: index j = q*B + c maps
+    to offset * w_ce^c * g^q, so within coset c the next-row frame (x ->
+    g*x) is simply q -> q+1 (a roll).  Winterfell's
+    DefaultConstraintEvaluator evaluates arbitrary transition constraints
+    at any trace size (`/root/reference/src/training/prover.rs:230-231`);
+    this is the streaming equivalent.  Peak liveness: the (8, W, n)
+    coefficient table + ONE (8, W, n) coset frame buffer + a 1/row_chunks
+    constraint working set.
+
+    Returns (8, n*ce_blowup) quotient evaluations, CE-domain order."""
+    opts = air.options
+    n = air.trace_length
+    w = air.trace_width
+    ce_blowup = air.ce_blowup
+    d_ce = n * ce_blowup
+    log2_n = n.bit_length() - 1
+    log2_ce = d_ce.bit_length() - 1
+    offset = air.domain_offset
+    g = air.trace_domain_generator
+    k_t = air.num_transition_constraints
+    w_ce = ref.root_of_unity(log2_ce)
+
+    alphas_t = f128.from_ints(np.asarray(alphas[:k_t], dtype=object))
+    g_last = f128.from_int(pow(g, n - 1, P)).reshape(8, 1)
+    groups = group_assertions(air.get_assertions())
+    steps = sorted(groups)
+    # 1/(x - g^step) over the FULL CE domain (one f128.inv pass, reused
+    # sliced per coset); coset c owns indices c::ce_blowup
+    domain_ce = _domain_inline(log2_ce, offset)
+    lin_inv = {
+        s_: f128.inv(f128.sub(domain_ce,
+                              f128.from_int(pow(g, s_, P)).reshape(8, 1)))
+        for s_ in steps}
+    periodic = air.periodic_rows()
+    per_polys = (ntt.interpolate(f128.from_ints(periodic))
+                 if periodic is not None else None)
+    g_pows = ntt.offset_powers_any(log2_n, g, False)     # (8, n): g^q
+
+    throttle = throttle or (lambda x: x)
+    total_nc = f128.zeros((n, ce_blowup))                # [q, coset]
+    chunk = max(1, n // row_chunks)
+    for ci in range(ce_blowup):
+        o_ci = (offset * pow(w_ce, ci, P)) % P
+        off_pows = _offset_powers_dev(log2_n, o_ci)      # (8, n): o^k
+        buf = f128.zeros((w, n))
+        for s in range(0, w, col_block):
+            e = min(s + col_block, w)
+            blk = _slice_cols(polys, jnp.int32(s), e - s)
+            buf = _eval_coset_block(buf, f128.mul(blk, off_pows),
+                                    jnp.int32(s), e - s)
+            throttle(buf)
+        pe_ci = (ntt.ntt(f128.mul(per_polys, off_pows))
+                 if per_polys is not None else None)
+        # transitions in row chunks (cur = buf[..., q], nxt = q+1 wrapped)
+        zer_inv_ci = f128.from_int(
+            ref.inv((pow(o_ci, n, P) - 1) % P)).reshape(8, 1)
+        coset_dom = f128.mul(g_pows, f128.from_int(o_ci).reshape(8, 1))
+        parts = []
+        for qs in range(0, n, chunk):
+            qe = min(qs + chunk, n)
+            cur = buf[:, :, qs:qe]
+            if qe < n:
+                nxt = buf[:, :, qs + 1:qe + 1]
+            else:
+                nxt = jnp.concatenate(
+                    [buf[:, :, qs + 1:], buf[:, :, :1]], axis=-1)
+            pe_chunk = (pe_ci[:, :, qs:qe] if pe_ci is not None else None)
+            if pe_chunk is not None:
+                tvals = air.evaluate_transitions_jax(cur, nxt, pe_chunk)
+            else:
+                tvals = air.evaluate_transitions_jax(cur, nxt)
+            parts.append(poly.combine(tvals, alphas_t))
+            throttle(parts[-1])
+        t_comb = jnp.concatenate(parts, axis=-1)         # (8, n)
+        t_quot = f128.mul(f128.mul(t_comb, zer_inv_ci),
+                          f128.sub(coset_dom, g_last))
+        # boundary quotients on this coset
+        for s_ in steps:
+            entries = groups[s_]
+            cols = [col for (_, col, _) in entries]
+            vals = f128.from_ints(np.asarray(
+                [v for (_, _, v) in entries], dtype=object))
+            coeffs = f128.from_ints(np.asarray(
+                [alphas[k_t + j] for (j, _, _) in entries], dtype=object))
+            diff = f128.sub(buf[:, cols, :], vals[:, :, None])
+            t_quot = f128.add(
+                t_quot, f128.mul(poly.combine(diff, coeffs),
+                                 lin_inv[s_][:, ci::ce_blowup]))
+        total_nc = total_nc.at[:, :, ci].set(t_quot)
+        del buf
+    return total_nc.reshape(8, d_ce)
+
+
 def prove_big(air: Air, trace: TraceTable = None, col_block: int = 64,
               progress=None, polys: jnp.ndarray = None) -> Proof:
     """Prove a statement whose LDE exceeds HBM, streaming by column
-    blocks.  Requires `air.all_transitions_zero` (inert transitions —
-    the reference training AIR).  Transcript identical to
-    `stark.prove_single_legacy`.
+    blocks (and, for AIRs with real transition constraints, by CE-domain
+    coset).  Transcript identical to `stark.prove_single_legacy`.
 
     Pass either `trace` (interpolated in place, block-wise) or `polys`
     (a prebuilt (8, W, n) coefficient table, e.g. from
@@ -132,13 +259,12 @@ def prove_big(air: Air, trace: TraceTable = None, col_block: int = 64,
     opts = air.options
     n = air.trace_length
     w = air.trace_width
-    assert getattr(air, "all_transitions_zero", False), \
-        "streaming composition implements boundary quotients only"
     assert (trace is None) != (polys is None), "pass trace XOR polys"
     if trace is not None:
         assert trace.width == w and trace.length == n
     else:
-        assert polys.shape == (8, w, n)
+        assert polys.shape in ((8, w, n), (4, w, n)), (
+            "polys must be (8, W, n) limbs or (4, W, n) packed words")
     assert w * 16 > 1024, \
         "single-chunk rows need ROOT-flagged chunk_cv (width <= 64 fits " \
         "the standard provers anyway)"
@@ -156,6 +282,12 @@ def prove_big(air: Air, trace: TraceTable = None, col_block: int = 64,
 
     channel = ProverChannel(air)
     t0 = time.perf_counter()
+    # backpressure for GB-scale streamed loops: async dispatch otherwise
+    # enqueues every iteration's jitted ops at once and their transient
+    # buffers are all live together (measured OOM at 2^20; see
+    # `ops/merkle.MerkleTree.SYNC_LEAVES` for the same effect)
+    throttle = ((lambda x: x.block_until_ready()) if n >= (1 << 19)
+                else (lambda x: x))
 
     # ---- 1. trace -> polys, in place ----------------------------------
     if polys is None:
@@ -189,8 +321,7 @@ def prove_big(air: Air, trace: TraceTable = None, col_block: int = 64,
             cv = None
             for s2 in range(cols.start, cols.stop, hash_cols):
                 e2 = min(s2 + hash_cols, cols.stop)
-                blk = jax.lax.dynamic_slice(
-                    polys, (0, s2, 0), (8, e2 - s2, n))
+                blk = _slice_cols(polys, jnp.int32(s2), e2 - s2)
                 words = _coset_eval_words(blk, off_pows)
                 b0 = (s2 - cols.start) * 16 // 64
                 cv = b3.chunk_cv_update(cv, words, b0, total_blocks,
@@ -208,6 +339,7 @@ def prove_big(air: Air, trace: TraceTable = None, col_block: int = 64,
                 cvs = nxt
             digests = cvs[0]
         leaves = _scatter_coset(leaves, digests, jnp.int32(c), blowup)
+        throttle(leaves)
     leaves.block_until_ready()
     say(f"leaf digests ({time.perf_counter() - t0:.1f}s)")
     trace_tree = merkle.MerkleTree(leaves)
@@ -215,7 +347,7 @@ def prove_big(air: Air, trace: TraceTable = None, col_block: int = 64,
     channel.reseed_root(trace_root)
     say(f"trace committed ({time.perf_counter() - t0:.1f}s)")
 
-    # ---- 3. composition (boundary quotients only) ---------------------
+    # ---- 3. composition -----------------------------------------------
     num_constraints = (air.num_transition_constraints
                        + len(air.get_assertions()))
     alphas = channel.coin.draw_coefficients(num_constraints, opts.batching)
@@ -223,32 +355,44 @@ def prove_big(air: Air, trace: TraceTable = None, col_block: int = 64,
     ce_blowup = air.ce_blowup
     d_ce = n * ce_blowup
     log2_ce = d_ce.bit_length() - 1
-    domain_ce = _domain_inline(log2_ce, offset)
-    groups = group_assertions(air.get_assertions())
-    steps = sorted(groups)
-    lin_inv = {
-        s_: f128.inv(f128.sub(domain_ce,
-                              f128.from_int(pow(g, s_, P)).reshape(8, 1)))
-        for s_ in steps}
-    total = f128.zeros((d_ce,))
-    for s in range(0, w, col_block):
-        e = min(s + col_block, w)
-        blk = jax.lax.dynamic_slice(polys, (0, s, 0), (8, e - s, n))
-        ce_blk = ntt.coset_evaluate(blk, offset, ce_blowup)
-        for s_ in steps:
-            entries = [(j, col, v) for (j, col, v) in groups[s_]
-                       if s <= col < e]
-            if not entries:
-                continue
-            cols = [col - s for (_, col, _) in entries]
-            vals = f128.from_ints(np.asarray(
-                [v for (_, _, v) in entries], dtype=object))
-            coeffs = f128.from_ints(np.asarray(
-                [alphas[k_t + j] for (j, _, _) in entries], dtype=object))
-            diff = f128.sub(ce_blk[:, cols, :], vals[:, :, None])
-            total = f128.add(total,
-                             f128.mul(poly.combine(diff, coeffs),
-                                      lin_inv[s_]))
+    if not getattr(air, "all_transitions_zero", False):
+        # REAL transition constraints: per-coset streamed evaluation
+        # (matches winterfell's any-size constraint evaluation,
+        # `src/training/prover.rs:230-231`)
+        total = _streamed_transition_quotient(air, polys, alphas,
+                                              col_block, throttle=throttle)
+    else:
+        # inert transitions (v1 parity): boundary quotients only,
+        # column-block streamed (no full-width frame buffer needed, so
+        # this path handles the widest traces)
+        domain_ce = _domain_inline(log2_ce, offset)
+        groups = group_assertions(air.get_assertions())
+        steps = sorted(groups)
+        lin_inv = {
+            s_: f128.inv(f128.sub(
+                domain_ce, f128.from_int(pow(g, s_, P)).reshape(8, 1)))
+            for s_ in steps}
+        total = f128.zeros((d_ce,))
+        for s in range(0, w, col_block):
+            e = min(s + col_block, w)
+            blk = _slice_cols(polys, jnp.int32(s), e - s)
+            ce_blk = ntt.coset_evaluate(blk, offset, ce_blowup)
+            for s_ in steps:
+                entries = [(j, col, v) for (j, col, v) in groups[s_]
+                           if s <= col < e]
+                if not entries:
+                    continue
+                cols = [col - s for (_, col, _) in entries]
+                vals = f128.from_ints(np.asarray(
+                    [v for (_, _, v) in entries], dtype=object))
+                coeffs = f128.from_ints(np.asarray(
+                    [alphas[k_t + j] for (j, _, _) in entries],
+                    dtype=object))
+                diff = f128.sub(ce_blk[:, cols, :], vals[:, :, None])
+                total = f128.add(total,
+                                 f128.mul(poly.combine(diff, coeffs),
+                                          lin_inv[s_]))
+            throttle(total)
     comp_cols = ntt.coset_interpolate(total, offset).reshape(
         8, ce_blowup, n)[:, :m]
     comp_lde = ntt.coset_evaluate(comp_cols, offset, blowup)
@@ -266,7 +410,7 @@ def prove_big(air: Air, trace: TraceTable = None, col_block: int = 64,
     ood_nxt: List[int] = []
     for s in range(0, w, col_block):
         e = min(s + col_block, w)
-        blk = jax.lax.dynamic_slice(polys, (0, s, 0), (8, e - s, n))
+        blk = _slice_cols(polys, jnp.int32(s), e - s)
         ood_cur += [int(x) for x in f128.to_ints(
             np.asarray(_dot_powers(blk, zpow, log2_n)))]
         ood_nxt += [int(x) for x in f128.to_ints(
@@ -286,11 +430,12 @@ def prove_big(air: Air, trace: TraceTable = None, col_block: int = 64,
     cb = f128.zeros((n,))
     for s in range(0, w, col_block):
         e = min(s + col_block, w)
-        blk = jax.lax.dynamic_slice(polys, (0, s, 0), (8, e - s, n))
+        blk = _slice_cols(polys, jnp.int32(s), e - s)
         ca = _accum_combine(ca, blk, f128.from_ints(
             np.asarray(g_cur[s:e], dtype=object)))
         cb = _accum_combine(cb, blk, f128.from_ints(
             np.asarray(g_nxt[s:e], dtype=object)))
+        throttle(cb)
     ca = _accum_combine(ca, comp_cols, f128.from_ints(
         np.asarray(g_cmp, dtype=object)))
     big_a = ntt.coset_evaluate(ca, offset, blowup)     # (8, N)
@@ -299,16 +444,26 @@ def prove_big(air: Air, trace: TraceTable = None, col_block: int = 64,
     b_val = sum(c * v for c, v in zip(g_nxt, ood_nxt)) % P
     c_val = sum(c * v for c, v in zip(g_cmp, ood_comp)) % P
     domain_big = _domain_inline(log2_big, offset)
-    dinv = f128.inv(jnp.stack([
-        f128.sub(domain_big, f128.from_int(z).reshape(8, 1)),
-        f128.sub(domain_big, f128.from_int(zg).reshape(8, 1))], axis=1))
-    deep = f128.add(
-        f128.mul(f128.sub(big_a,
-                          f128.from_int((a_val + c_val) % P).reshape(8, 1)),
-                 dinv[:, 0]),
-        f128.mul(f128.sub(big_b, f128.from_int(b_val).reshape(8, 1)),
-                 dinv[:, 1]))
-    del big_a, big_b, dinv, ca, cb, domain_big
+    ac_l = f128.from_int((a_val + c_val) % P).reshape(8, 1)
+    b_l = f128.from_int(b_val).reshape(8, 1)
+    z_l = f128.from_int(z).reshape(8, 1)
+    zg_l = f128.from_int(zg).reshape(8, 1)
+    # segmented over the LDE domain: the in-graph f128.inv (127-round pow
+    # chain) transiently holds several copies of its operand — one-shot at
+    # 2^24 points OOMs next to the resident coefficient table
+    seg = min(big_n, 1 << 22)
+    parts = []
+    for s in range(0, big_n, seg):
+        e = min(s + seg, big_n)
+        dom = domain_big[:, s:e]
+        dinv = f128.inv(jnp.stack([f128.sub(dom, z_l),
+                                   f128.sub(dom, zg_l)], axis=1))
+        parts.append(f128.add(
+            f128.mul(f128.sub(big_a[:, s:e], ac_l), dinv[:, 0]),
+            f128.mul(f128.sub(big_b[:, s:e], b_l), dinv[:, 1])))
+        throttle(parts[-1])
+    deep = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+    del big_a, big_b, parts, ca, cb, domain_big
     say(f"DEEP built ({time.perf_counter() - t0:.1f}s)")
 
     fri_prover = fri.FriProver(opts.fri_folding_factor,
@@ -335,9 +490,10 @@ def prove_big(air: Air, trace: TraceTable = None, col_block: int = 64,
         col_chunks = []
         for s in range(0, w, col_block):
             e = min(s + col_block, w)
-            blk = jax.lax.dynamic_slice(polys, (0, s, 0), (8, e - s, n))
+            blk = _slice_cols(polys, jnp.int32(s), e - s)
             evals = ntt.ntt(f128.mul(blk, off_pows))
             col_chunks.append(jnp.take(evals, qidx, axis=-1))  # (8, B, Q)
+            throttle(col_chunks[-1])
         vals = f128.to_ints(np.asarray(jnp.concatenate(col_chunks,
                                                        axis=1)))
         for qi, q in enumerate(qs):

@@ -70,7 +70,8 @@ def _dispatch_a(kind: str, n: int, w: int, c: int, ce_blowup: int, m: int,
                 blowup: int, offset: int, step_groups, factor: int,
                 n_layers: int, rem_len: int, num_constraints: int,
                 k_trans: int, grinding_bits: int, num_queries: int,
-                chunk_log2: int, tparam_meta, group_alpha_idx):
+                chunk_log2: int, tparam_meta, group_alpha_idx,
+                n_periodic: int = 0):
     """Build the fused phase-1..grinding executable for one static config.
 
     group_alpha_idx: per step-group, the GLOBAL coefficient indices
@@ -80,7 +81,7 @@ def _dispatch_a(kind: str, n: int, w: int, c: int, ce_blowup: int, m: int,
     log2_big = big_n.bit_length() - 1
     g = ref.root_of_unity(n.bit_length() - 1)
 
-    def run(stacked, seed0, tparams, group_vals):
+    def run(stacked, seed0, tparams, group_vals, periodic=None):
         # -- phase 1: trace LDE + commit --------------------------------
         trace_polys, lde, trace_levels = phases._trace_lde_commit_impl(
             stacked, blowup, offset)
@@ -95,7 +96,7 @@ def _dispatch_a(kind: str, n: int, w: int, c: int, ce_blowup: int, m: int,
         comp_cols, comp_lde, comp_levels = phases._composition_commit_impl(
             kind, n, ce_blowup, m, offset, step_groups, blowup,
             trace_polys, tparams, alphas_t, tuple(group_alphas),
-            group_vals)
+            group_vals, periodic)
         comp_root = comp_levels[-1][:, 0]
         state = dc.reseed(state, comp_root)
 
@@ -270,15 +271,22 @@ def dispatch_many_device(airs: Sequence[Air], traces: Sequence):
 
     group_alpha_idx = tuple(
         tuple(k + j for (j, _, _) in groups[s]) for s in steps)
+    from .batch import _stack_periodic
+    periodic = _stack_periodic(airs)
+    n_periodic = 0 if periodic is None else periodic.shape[1]
     cfg = (kind, n, w, c, air0.ce_blowup, m, opts.blowup_factor,
            offset, step_groups, factor, n_layers, rem_len,
            k + len(pat0), k, opts.grinding_bits, q,
-           _pow_chunk_log2(), tparam_meta, group_alpha_idx)
+           _pow_chunk_log2(), tparam_meta, group_alpha_idx, n_periodic)
     fn = _dispatch_a(*cfg)
     stacked = jnp.stack([t.data for t in traces], axis=1)
     from . import aot
-    out = aot.call("dispatch_a", cfg, fn, stacked, seed0, tparams,
-                   group_vals)
+    if periodic is None:
+        out = aot.call("dispatch_a", cfg, fn, stacked, seed0, tparams,
+                       group_vals)
+    else:
+        out = aot.call("dispatch_a", cfg, fn, stacked, seed0, tparams,
+                       group_vals, periodic)
     return (airs, out)
 
 

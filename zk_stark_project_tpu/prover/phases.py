@@ -149,8 +149,54 @@ def _transitions_fedavg_linear(ce: jnp.ndarray, nxt: jnp.ndarray,
     return f128.sub(f128.mul(k, diff), nxt[:, :, d:2 * d])
 
 
+def _transitions_sgd_v2(ce: jnp.ndarray, nxt: jnp.ndarray,
+                        params) -> jnp.ndarray:
+    """Sound SGD-step constraints, batched over C statements
+    (`models/training_v2.py` — trace layout and math documented there).
+
+    ce/nxt: (8, C, 135, D).  params: per-proof scalars inv_pr/inv_lr/
+    two_ac/inv_lrpr as (8, C) limbs, plus the caller-injected
+    "periodic_ce" (8, 1, D) sel evaluations (shared across C — sel
+    depends only on the public batch size)."""
+    from ..models.ml_math import AC, FE
+
+    d_state = AC * FE + AC
+    x0, y0 = 2 * d_state, 2 * d_state + FE
+    d_dom = ce.shape[-1]
+    c = ce.shape[1]
+    sel = params["periodic_ce"][:, 0]                    # (8, D)
+    x_e = ce[:, :, x0:y0]                                # (8, C, FE, D)
+    y_e = ce[:, :, y0:y0 + AC]                           # (8, C, AC, D)
+
+    raw_cur = f128.sub(ce[:, :, :d_state], ce[:, :, d_state:x0])
+    raw_nxt = f128.sub(nxt[:, :, :d_state], nxt[:, :, d_state:x0])
+    w_cur = raw_cur[:, :, :AC * FE].reshape(8, c, AC, FE, d_dom)
+    b_cur = raw_cur[:, :, AC * FE:]                      # (8, C, AC, D)
+
+    inv_pr = params["inv_pr"][:, :, None, None]
+    inv_lr = params["inv_lr"][:, :, None, None]
+    two_ac = params["two_ac"][:, :, None, None]
+    inv_lrpr = params["inv_lrpr"][:, :, None, None, None]
+
+    prod = f128.mul(w_cur, x_e[:, :, None])              # (8, C, AC, FE, D)
+    dot = prod[:, :, :, 0]
+    for i in range(1, FE):
+        dot = f128.add(dot, prod[:, :, :, i])
+    pred = f128.add(f128.mul(dot, inv_pr), b_cur)
+    err = f128.mul(f128.sub(pred, y_e), two_ac)          # (8, C, AC, D)
+
+    gw = f128.mul(f128.mul(err[:, :, :, None], x_e[:, :, None]), inv_lrpr)
+    gb = f128.mul(err, inv_lr)
+    grad = jnp.concatenate(
+        [gw.reshape(8, c, AC * FE, d_dom), gb], axis=2)  # (8, C, 60, D)
+
+    return f128.add(f128.sub(raw_nxt, raw_cur),
+                    f128.mul(sel[:, None, None], grad))
+
+
 TRANSITION_KERNELS = {
     "fedavg_linear": _transitions_fedavg_linear,
+    "sgd_v2": _transitions_sgd_v2,
 }
 
 
@@ -225,13 +271,14 @@ def trace_lde_commit(stacked: jnp.ndarray, blowup: int, offset: int):
 
 def composition_commit(kind, n, ce_blowup, m, offset, step_groups, blowup,
                        trace_polys, tparams, alphas_t, group_alphas,
-                       group_vals):
+                       group_vals, periodic=None):
     """Batched constraint composition over the CE domain + LDE + commit
     (fused executable on TPU, eager per-op on CPU)."""
     fn = (_composition_commit_jit if use_fused()
           else _composition_commit_impl)
     return fn(kind, n, ce_blowup, m, offset, step_groups, blowup,
-              trace_polys, tparams, alphas_t, group_alphas, group_vals)
+              trace_polys, tparams, alphas_t, group_alphas, group_vals,
+              periodic)
 
 
 def _composition_commit_impl(kind: str, n: int, ce_blowup: int, m: int,
@@ -241,7 +288,8 @@ def _composition_commit_impl(kind: str, n: int, ce_blowup: int, m: int,
                              trace_polys: jnp.ndarray, tparams,
                              alphas_t: jnp.ndarray,
                              group_alphas,
-                             group_vals):
+                             group_vals,
+                             periodic: jnp.ndarray = None):
     """Batched constraint composition over the CE domain + LDE + commit.
 
     kind: transition kernel name ('zero' = inert, SURVEY.md pin #3).
@@ -249,7 +297,10 @@ def _composition_commit_impl(kind: str, n: int, ce_blowup: int, m: int,
     tparams: pytree of (8, C, ...) transition parameters.
     alphas_t: (8, C, K) transition batching coefficients.
     group_alphas/group_vals: per step-group (8, C, J) coefficient/value
-    arrays.  Returns (comp_cols, comp_lde, levels).
+    arrays.  periodic: optional (8, n_p, n) periodic-column values over
+    the trace domain (shared across C) — CE-evaluated here and handed to
+    the transition kernel as params["periodic_ce"].
+    Returns (comp_cols, comp_lde, levels).
     """
     c = trace_polys.shape[1]
     d = n * ce_blowup
@@ -262,6 +313,10 @@ def _composition_commit_impl(kind: str, n: int, ce_blowup: int, m: int,
     if kind == "zero":
         total = f128.zeros((c, d))
     else:
+        if periodic is not None:
+            pe = ntt.coset_evaluate(ntt.interpolate(periodic), offset,
+                                    ce_blowup)           # (8, n_p, D)
+            tparams = dict(tparams, periodic_ce=pe)
         nxt = jnp.roll(ce, -ce_blowup, axis=-1)
         tvals = TRANSITION_KERNELS[kind](ce, nxt, tparams)   # (8, C, K, D)
         t_comb = poly.combine_axis(tvals, alphas_t, 2)       # (8, C, D)

@@ -194,7 +194,14 @@ def build_composition_columns(air: Air, trace_polys: jnp.ndarray,
     else:
         nxt = jnp.roll(ce, -ce_blowup, axis=-1)
         # transition quotients: sum_i alpha_i T_i(x) * (x-g^{n-1}) / (x^n - 1)
-        tvals = air.evaluate_transitions_jax(ce, nxt)        # (8, K, D)
+        periodic = air.periodic_rows()
+        if periodic is not None:
+            pe = ntt.coset_evaluate(
+                ntt.interpolate(f128.from_ints(periodic)), offset,
+                ce_blowup)
+            tvals = air.evaluate_transitions_jax(ce, nxt, pe)  # (8, K, D)
+        else:
+            tvals = air.evaluate_transitions_jax(ce, nxt)    # (8, K, D)
         alpha_t = f128.from_ints(np.asarray(alphas[:k], dtype=object))
         t_comb = poly.combine(tvals, alpha_t)                # (8, D)
         g_last = f128.from_int(pow(g, n - 1, ref.P)).reshape(8, 1)
