@@ -37,7 +37,7 @@ def round_dirs(tmp_path):
         d = tmp_path / dev
         d.mkdir()
         for fn in ("proof_times.csv", "training_local_time.csv",
-                   "scores.csv", "gas.csv"):
+                   "scores.csv", "gas.csv", "update_blockchain_time.csv"):
             with open(d / fn, "w", newline="") as f:
                 w = csv.DictWriter(f, fieldnames=["round", "value"])
                 w.writeheader()
@@ -84,6 +84,38 @@ def test_round_figures(round_dirs, tmp_path):
         os.path.join(out, "bp.png")))
     assert os.path.exists(plots.plot_classification_report(
         round_dirs, os.path.join(out, "cls.png")))
+    assert os.path.exists(plots.plot_gas(
+        round_dirs, os.path.join(out, "gasbox.png")))
+    assert os.path.exists(plots.plot_update_blockchain_time(
+        round_dirs, os.path.join(out, "ubt.png")))
+
+
+def test_summary_table_and_legend_export(metrics_csv, tmp_path):
+    out_csv = plots.summary_table(
+        [metrics_csv], str(tmp_path / "summary_statistics.csv"))
+    assert os.path.exists(out_csv)
+    with open(out_csv) as f:
+        rows = list(csv.DictReader(f))
+    # every (bs, step-time) pair plus memory + proof-size rows
+    metrics = {(r["Batch Size"], r["Metric"]) for r in rows}
+    assert ("1", "proof time (s)") in metrics
+    assert ("10", "peak memory (MB)") in metrics
+    assert ("10", "proof size (KB)") in metrics
+    row = next(r for r in rows
+               if (r["Batch Size"], r["Metric"]) == ("1", "proof time (s)"))
+    assert float(row["Min"]) <= float(row["Mean"]) <= float(row["Max"])
+    assert float(row["CV (%)"]) >= 0.0
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots()
+    ax.plot([0, 1], [0, 1], label="a")
+    ax.plot([0, 1], [1, 0], label="b")
+    ax.legend()
+    leg = plots.export_legend(fig, str(tmp_path / "legend.png"))
+    assert os.path.exists(leg)
+    plt.close(fig)
 
 
 def test_grid_and_pgf(tmp_path):

@@ -349,6 +349,105 @@ def plot_classification_report(analytics_dirs: List[str], out_path: str,
     return p
 
 
+def plot_gas(analytics_dirs: List[str], out_path: str,
+             pgf: bool = False) -> str:
+    """Gas-cost distribution per device over update rounds — the
+    `plot_gas` boxplot family (`devices/analytics/plots.py:172-175`: one
+    box of ``data["Gas-Costs"]`` per device figure)."""
+    plt = _mpl()
+    series = sorted(_per_round_series(analytics_dirs, "gas.csv").items())
+    fig, ax = plt.subplots(figsize=(6, 4))
+    if series:
+        ax.boxplot([ys for _, (_, ys) in series],
+                   tick_labels=[name for name, _ in series])
+    ax.set_xlabel("Update-Round")
+    ax.set_ylabel("Gas-Costs")
+    fig.tight_layout()
+    p = save_fig(fig, out_path, pgf)
+    plt.close(fig)
+    return p
+
+
+def plot_update_blockchain_time(analytics_dirs: List[str], out_path: str,
+                                pgf: bool = False) -> str:
+    """Blockchain-update latency scatter with a degree-1 least-squares
+    trend line per device — `plot_update_blockchain_time`
+    (`devices/analytics/plots.py:206-219`: polyfit(round, time, 1) over
+    a scatter of the raw samples)."""
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for name, (xs, ys) in sorted(_per_round_series(
+            analytics_dirs, "update_blockchain_time.csv").items()):
+        sc = ax.scatter(xs, ys, s=12, label=name)
+        if len(xs) >= 2:
+            n = float(len(xs))
+            mx, my = sum(xs) / n, sum(ys) / n
+            sxx = sum((x - mx) ** 2 for x in xs)
+            slope = (sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sxx
+                     if sxx else 0.0)
+            xs_s = sorted(xs)
+            ax.plot(xs_s, [my + slope * (x - mx) for x in xs_s],
+                    lw=0.8, color=sc.get_facecolor()[0])
+    ax.set_xlabel("Update-Round")
+    ax.set_ylabel("Time-Taken")
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    p = save_fig(fig, out_path, pgf)
+    plt.close(fig)
+    return p
+
+
+def summary_table(metric_csvs: List[str], out_csv: str) -> str:
+    """Per-batch-size summary statistics (Mean / Std Dev / CV% / Min / Max
+    per step metric) written as ``summary_statistics.csv`` — the
+    reference's summary-statistics table
+    (`visualize_benchmarks.py:511-546` create_summary_table)."""
+    by_key: Dict[tuple, List[float]] = defaultdict(list)
+    mems: Dict[tuple, List[float]] = defaultdict(list)
+    sizes: Dict[int, List[float]] = defaultdict(list)
+    for path in metric_csvs:
+        for row in _read_csv(path):
+            bs = int(row["bs"])
+            by_key[(bs, f"{row['step']} time (s)")].append(
+                float(row["time_s"]))
+            mems[(bs, "peak memory (MB)")].append(float(row["peak_rss_mb"]))
+            if row.get("proof_size") not in (None, "", "None"):
+                sizes[bs].append(float(row["proof_size"]) / 1024)
+    for (bs, name), xs in mems.items():
+        by_key[(bs, name)] = [max(xs)]
+    for bs, xs in sizes.items():
+        by_key[(bs, "proof size (KB)")] = xs
+    with open(out_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=[
+            "Batch Size", "Metric", "Mean", "Std Dev", "CV (%)",
+            "Min", "Max"])
+        w.writeheader()
+        for (bs, name) in sorted(by_key):
+            xs = by_key[(bs, name)]
+            mean, std, cv = _stats(xs)
+            w.writerow({"Batch Size": bs, "Metric": name,
+                        "Mean": round(mean, 6), "Std Dev": round(std, 6),
+                        "CV (%)": round(cv * 100, 3),
+                        "Min": min(xs), "Max": max(xs)})
+    return out_csv
+
+
+def export_legend(fig_or_ax, out_path: str, expand=(-5, -5, 5, 5)) -> str:
+    """Save a figure's legend alone as its own image — the reference's
+    `export_legend` helper (`devices/analytics/plots.py:536-543`), used
+    to share one legend across a grid of PGF panels."""
+    ax = getattr(fig_or_ax, "gca", lambda: fig_or_ax)()
+    legend = ax.get_legend() or ax.legend()
+    fig = legend.figure
+    fig.canvas.draw()
+    bbox = legend.get_window_extent()
+    ext = [bbox.extents[i] + expand[i] for i in range(4)]
+    bbox = bbox.from_extents(*ext)
+    bbox = bbox.transformed(fig.dpi_scale_trans.inverted())
+    fig.savefig(out_path, dpi="figure", bbox_inches=bbox)
+    return out_path
+
+
 def plot_participants_vs_batchsize(grid: Dict[int, Dict[int, float]],
                                    out_path: str, ylabel: str = "seconds",
                                    pgf: bool = False) -> str:
@@ -395,6 +494,8 @@ def main(argv=None) -> int:
     print(plot_detailed_distribution(
         args.csvs, os.path.join(args.out_dir, "stark_detailed.png"),
         pgf=args.pgf))
+    print(summary_table(
+        args.csvs, os.path.join(args.out_dir, "summary_statistics.csv")))
     return 0
 
 
