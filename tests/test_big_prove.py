@@ -118,5 +118,7 @@ def test_streamed_polys_host_chain(np_rng):
                               masks=p.masks)
     host = build_polys_streamed(p2, host_chain=True)
     import numpy as np3
-    assert (np3.asarray(f128.canon(dev))
-            == np3.asarray(f128.canon(host))).all()
+    # tables come back PACKED as (4, W, n) canonical u32 words — direct
+    # word equality IS bit equality (no canon pass needed or possible)
+    assert dev.shape[0] == 4 and host.shape[0] == 4
+    assert (np3.asarray(dev) == np3.asarray(host)).all()

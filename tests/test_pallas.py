@@ -110,6 +110,26 @@ def test_ntt_dif_kernel_bit_exact(np_rng):
         assert [int(v) for v in out] == revd
 
 
+def test_ntt_dif_kernel_packed_rows(np_rng):
+    """rows % 16 == 0 engages the packed roll-stage mul (two row-halves
+    share one half-volume twiddle mul); must stay bit-exact."""
+    import random
+
+    from zk_stark_project_tpu.ops import ntt
+
+    r = random.Random(13)
+    logn, n, b = 10, 1024, 16          # rows = b = 16 -> packed path
+    cols = [[r.getrandbits(128) % ref.P for _ in range(n)]
+            for _ in range(b)]
+    x = f128.from_ints(np.asarray(cols, dtype=object))
+    out = ntt._dif(x, logn, False)
+    rev = ntt._bitrev_np(logn)
+    for i in range(b):
+        want = ref.ntt(list(cols[i]))
+        assert [int(v) for v in f128.to_ints(out[:, i])] == \
+            [want[int(j)] for j in rev]
+
+
 def test_ntt_dif_kernel_fused_scale(np_rng):
     """The fused input-scale operand (four-step mid twiddle) matches an
     explicit pre-multiply."""

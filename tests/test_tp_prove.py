@@ -68,6 +68,27 @@ def test_tp_prove_training(np_rng):
     verify(air, tp)
 
 
+@pytest.mark.slow
+def test_tp_prove_training_v2(np_rng):
+    """The sound v2 AIR (periodic sel column + sgd_v2 transition kernel)
+    must ride the tensor-parallel path bit-identically too."""
+    from zk_stark_project_tpu.models.training_v2 import (
+        D_STATE, TrainingUpdateV2Prover)
+
+    state = [int(np_rng.integers(0, 10 ** 7)) for _ in range(D_STATE)]
+    x = [[f64_to_felt(0.5)] * FE]
+    y = [ml_math.label_to_one_hot(2.0, AC, 1e6)]
+    p = TrainingUpdateV2Prover(fast_options(num_queries=4, blowup=2),
+                               state, x, y, f64_to_felt(1e-4),
+                               f64_to_felt(1e6), 1, rng=np_rng)
+    air = p.air()
+    trace = p.build_trace()
+    baseline = prove(air, trace)
+    tp = prove_tp(air, trace, _mesh(2))
+    assert tp.to_bytes() == baseline.to_bytes()
+    verify(air, tp)
+
+
 def test_tp_phase_shards_collectives(np_rng):
     """The sharded phase must keep polys/lde column-sharded and the bottom
     Merkle levels domain-sharded (only the top levels replicated)."""

@@ -65,6 +65,10 @@ def measure_u32_peak(reps: int = 5, log2_n: int = 22,
     import jax.numpy as jnp
 
     n = 1 << log2_n
+    # keep the k2-k1 work delta >= ~2^35 ops regardless of block size:
+    # tunnel RTT jitter is +-ms, so a small-n probe with the default round
+    # count degenerates to noise (observed 10x-inflated "peak" at 2^20)
+    k_rounds = max(k_rounds, k_rounds * ((1 << 24) >> log2_n))
 
     @jax.jit
     def chain(a, b, k):

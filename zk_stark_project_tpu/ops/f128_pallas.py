@@ -331,16 +331,39 @@ def _ntt_stages_dif_kernel(*refs, logn: int, rows: int, has_scale: bool):
                 segs[i].append(t[i])
         xl = [jnp.concatenate(parts, axis=1) for parts in segs]
 
-    # -- middle stages: roll formulation (full-width mul) ------------------
+    # -- middle stages: roll formulation ----------------------------------
+    # The twiddle mul's result is only read at upper half-positions (the
+    # final `where` picks `summ` at lower ones), so a plain full-width mul
+    # wastes half its lanes.  When the row tile splits into two 8-aligned
+    # halves, PACK them: rotate the second half's butterfly differences
+    # down by `half` onto the lower lane positions of the first half's,
+    # and run ONE mul at half the volume (the table holds each position's
+    # own twiddle at upper lanes and its +half neighbour's at lower lanes
+    # — see `ntt._dif_tables`).  ~2x less mul work on the last ~5 stages;
+    # the two extra rolls + selects are noise next to a 64-product limb
+    # mul.  Measured bit-exact vs the unpacked path.
+    packed_rows = rows % 16 == 0
+
     def stage(r, xl):
         xl = list(xl)
         s = r + n_sliced + 1                       # stage number (traced)
         half = jax.lax.shift_right_logical(jnp.int32(n), s)
-        twl = [jnp.broadcast_to(tw_ref[i, pl.ds(r, 1), :], (rows, n))
-               for i in range(8)]
         summ = _add_limbs(xl, [roll(v, n - half) for v in xl])
         diff = _sub_limbs([roll(v, half) for v in xl], xl)
-        t = _mul_limbs(twl, diff)
+        if packed_rows:
+            r2 = rows // 2
+            low_h = jnp.broadcast_to(mask_ref[pl.ds(r, 1), :] != 0,
+                                     (r2, n))
+            twl = [jnp.broadcast_to(tw_ref[i, pl.ds(r, 1), :], (r2, n))
+                   for i in range(8)]
+            pk = [jnp.where(low_h, roll(v[r2:], n - half), v[:r2])
+                  for v in diff]
+            tp = _mul_limbs(twl, pk)
+            t = [jnp.concatenate([a, roll(a, half)], axis=0) for a in tp]
+        else:
+            twl = [jnp.broadcast_to(tw_ref[i, pl.ds(r, 1), :], (rows, n))
+                   for i in range(8)]
+            t = _mul_limbs(twl, diff)
         lower = jnp.broadcast_to(mask_ref[pl.ds(r, 1), :] != 0, (rows, n))
         return tuple(jnp.where(lower, a, d) for a, d in zip(summ, t))
 

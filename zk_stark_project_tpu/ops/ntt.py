@@ -145,7 +145,13 @@ def _dif_tables(logn: int, inverse: bool):
         m = n >> (s-1)) at [:, s-1, :m/2] holding w_m^0..w_m^(m/2-1);
       * tw_ext (8, R, n): roll-stage twiddles in natural position order —
         at roll index r (stage s = S+1+r), position j holds
-        w_m^(j mod m - m/2) on upper half-positions, 0 on lower;
+        w_m^(j mod m - m/2) on upper half-positions and w_m^(j mod m) on
+        lower ones.  The lower values are what position j+m/2 needs: the
+        kernel's packed roll stages rotate the second row-half's
+        butterfly differences down by m/2 and share ONE half-volume mul
+        between two row groups (`f128_pallas._ntt_stages_dif_kernel`);
+        the unpacked fallback never reads `t` at lower positions (the
+        final `where` discards them), so one table serves both paths;
       * masks (R, n): 1 on lower half-positions.
     """
     from . import f128_pallas as fp
@@ -168,8 +174,9 @@ def _dif_tables(logn: int, inverse: bool):
         half = m >> 1
         j = pos % m
         upper = j >= half
-        src = np.minimum((j - half) << (s - 1), n // 2 - 1)
-        tw_ext[:, r, :] = np.where(upper[None, :], tw_full[:, src], 0)
+        exp = np.where(upper, j - half, j)       # w_m^(j mod m [- m/2])
+        src = exp << (s - 1)
+        tw_ext[:, r, :] = tw_full[:, src]
         masks[r] = (~upper).astype(np.uint32)
     return stw, tw_ext, masks
 

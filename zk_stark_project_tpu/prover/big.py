@@ -53,8 +53,7 @@ from ..ops import merkle, ntt
 from . import fri, poly
 from .air import Air
 from .proof import MerkleOpening, Proof
-from .stark import (ProverChannel, commit_rows, find_pow_nonce,
-                    group_assertions, open_rows)
+from .stark import ProverChannel, find_pow_nonce, group_assertions
 from .trace import TraceTable
 
 P = ref.P
@@ -362,41 +361,63 @@ def prove_big(air: Air, trace: TraceTable = None, col_block: int = 64,
         total = _streamed_transition_quotient(air, polys, alphas,
                                               col_block, throttle=throttle)
     else:
-        # inert transitions (v1 parity): boundary quotients only,
-        # column-block streamed (no full-width frame buffer needed, so
-        # this path handles the widest traces)
-        domain_ce = _domain_inline(log2_ce, offset)
+        # inert transitions (v1 parity): boundary quotients only.  The
+        # per-step numerator sum_j coeff_j (T_j(x) - v_j) factors as
+        # (sum_j coeff_j T_j)(x) - sum_j coeff_j v_j, so accumulate ONE
+        # combined (8, n) coefficient vector per assertion step over the
+        # column blocks, then pay ONE CE-domain evaluation per step —
+        # instead of a CE evaluation of every column (the per-block
+        # (8, B, d_ce) working set OOM'd at 2^20 next to the resident
+        # table; this path's peak is the table + one column block).
+        # Exact mod-p algebra: same composition polynomial bit-for-bit
+        # (canonicalization happens at the word/int extractions).
         groups = group_assertions(air.get_assertions())
         steps = sorted(groups)
-        lin_inv = {
-            s_: f128.inv(f128.sub(
-                domain_ce, f128.from_int(pow(g, s_, P)).reshape(8, 1)))
+        acc = {s_: f128.zeros((n,)) for s_ in steps}
+        k_const = {
+            s_: sum(alphas[k_t + j] * v for (j, _, v) in groups[s_]) % P
             for s_ in steps}
-        total = f128.zeros((d_ce,))
         for s in range(0, w, col_block):
             e = min(s + col_block, w)
             blk = _slice_cols(polys, jnp.int32(s), e - s)
-            ce_blk = ntt.coset_evaluate(blk, offset, ce_blowup)
             for s_ in steps:
                 entries = [(j, col, v) for (j, col, v) in groups[s_]
                            if s <= col < e]
                 if not entries:
                     continue
                 cols = [col - s for (_, col, _) in entries]
-                vals = f128.from_ints(np.asarray(
-                    [v for (_, _, v) in entries], dtype=object))
                 coeffs = f128.from_ints(np.asarray(
                     [alphas[k_t + j] for (j, _, _) in entries],
                     dtype=object))
-                diff = f128.sub(ce_blk[:, cols, :], vals[:, :, None])
-                total = f128.add(total,
-                                 f128.mul(poly.combine(diff, coeffs),
-                                          lin_inv[s_]))
+                acc[s_] = _accum_combine(acc[s_], blk[:, cols, :], coeffs)
+            throttle(acc[steps[-1]])
+        domain_ce = _domain_inline(log2_ce, offset)
+        total = f128.zeros((d_ce,))
+        for s_ in steps:
+            lin_inv_s = f128.inv(f128.sub(
+                domain_ce, f128.from_int(pow(g, s_, P)).reshape(8, 1)))
+            ce = ntt.coset_evaluate(acc[s_], offset, ce_blowup)
+            diff = f128.sub(ce, f128.from_int(k_const[s_]).reshape(8, 1))
+            total = f128.add(total, f128.mul(diff, lin_inv_s))
             throttle(total)
+        del domain_ce, acc
     comp_cols = ntt.coset_interpolate(total, offset).reshape(
         8, ce_blowup, n)[:, :m]
-    comp_lde = ntt.coset_evaluate(comp_cols, offset, blowup)
-    comp_tree = commit_rows(comp_lde)
+    del total
+    # streamed comp commit: per interleaved coset, evaluate the m comp
+    # columns on the n-subgroup coset and hash rows — identical leaves to
+    # `commit_rows(coset_evaluate(comp_cols, offset, blowup))` without the
+    # (8, m, N) LDE ever resident (1 GB at 2^24 the DEEP/FRI phases need)
+    comp_leaves = jnp.zeros((big_n, 8), jnp.uint32)
+    for c in range(blowup):
+        off_c = (offset * pow(w24, c, P)) % P
+        off_pows = _offset_powers_dev(log2_n, off_c)
+        words = _coset_eval_words(comp_cols, off_pows)     # (n, m*4)
+        dg = b3.hash_words(words, m * 16)
+        comp_leaves = _scatter_coset(comp_leaves, dg, jnp.int32(c), blowup)
+        throttle(comp_leaves)
+    comp_tree = merkle.MerkleTree(comp_leaves)
+    del comp_leaves
     comp_root = comp_tree.root_bytes()
     channel.reseed_root(comp_root)
     say(f"composition committed ({time.perf_counter() - t0:.1f}s)")
@@ -505,7 +526,24 @@ def prove_big(air: Air, trace: TraceTable = None, col_block: int = 64,
                       path=[np.asarray(s_).astype("<u4").tobytes()
                             for s_ in paths[i]])
         for i, p in enumerate(positions)]
-    comp_openings = open_rows(comp_lde, comp_tree, positions)
+    # comp rows: recompute only the queried cosets from the small
+    # comp_cols table (same values `open_rows` would read off the LDE)
+    comp_vals: Dict[int, List[int]] = {}
+    for c, qs in by_coset.items():
+        off_c = (offset * pow(w24, c, P)) % P
+        off_pows = _offset_powers_dev(log2_n, off_c)
+        qidx = jnp.asarray(np.asarray(qs, dtype=np.int32))
+        evals = ntt.ntt(f128.mul(comp_cols, off_pows))     # (8, m, n)
+        vals = f128.to_ints(np.asarray(jnp.take(evals, qidx, axis=-1)))
+        for qi, q in enumerate(qs):
+            comp_vals[q * blowup + c] = [int(vals[col, qi])
+                                         for col in range(m)]
+    comp_paths = comp_tree.prove_batch(positions)
+    comp_openings = [
+        MerkleOpening(position=int(p), values=comp_vals[p],
+                      path=[np.asarray(s_).astype("<u4").tobytes()
+                            for s_ in comp_paths[i]])
+        for i, p in enumerate(positions)]
     fri_openings = fri_prover.open_queries(fri_layers, positions)
     say(f"openings done ({time.perf_counter() - t0:.1f}s)")
 
