@@ -128,50 +128,65 @@ def butterfly_op_cost() -> dict:
     }
 
 
-def device_ntt_seconds(vals, reps: int):
+def device_ntt_seconds(vals, reps: int, body=None, per_iter: int = 1):
     """(device seconds per transform, single-dispatch seconds, (k1, k2)).
 
     Uses a dynamic-trip-count fori_loop chain — ONE compile, any k — and
     the two-point slope (t(k2) - t(k1)) / (k2 - k1), which cancels the
     dispatch round trip entirely (tunnel RTT jitter is tens of ms —
     bigger than small-n device work, so absolute single-dispatch times
-    are unusable for throughput)."""
+    are unusable for throughput).  `body`: optional per-iteration
+    function (default one natural-order `ntt.ntt`); `per_iter` =
+    transforms per body call (divides the slope)."""
     import jax
 
     from ..ops import ntt
 
+    if body is None:
+        body = ntt.ntt
+
     @jax.jit
     def chained(x, k):
-        out = jax.lax.fori_loop(0, k, lambda i, v: ntt.ntt(v), x)
+        out = jax.lax.fori_loop(0, k, lambda i, v: body(v), x)
         return out[:, :1]
 
     np.asarray(chained(vals, 2))
-    t1 = _timeit(lambda: ntt.ntt(vals).block_until_ready(), reps)
+    t1 = _timeit(lambda: body(vals).block_until_ready(), reps)
     k1 = 8
     t_k1 = _timeit(lambda: np.asarray(chained(vals, k1)), reps)
     est = max((t_k1 / k1) / 4, 2e-6)     # rough per-transform floor
     k2 = k1 + int(min(4096, max(64, 0.5 / est)))
     t_k2 = _timeit(lambda: np.asarray(chained(vals, k2)), reps)
-    t = max((t_k2 - t_k1) / (k2 - k1), 1e-9)
+    t = max((t_k2 - t_k1) / (k2 - k1) / per_iter, 1e-9)
     return t, t1, (k1, k2)
 
 
 def ntt_utilization(log2_n: int, reps: int, peak_ops: float,
-                    ops_per_bfly: Optional[float]) -> dict:
-    """Measured butterflies/s vs the derived speed-of-light ceiling."""
+                    ops_per_bfly: Optional[float],
+                    bitrev: bool = False) -> dict:
+    """Measured butterflies/s vs the derived speed-of-light ceiling.
+
+    With `bitrev`, measures the PROVER's convention instead: one
+    iteration = `ntt_bitrev(x, inverse=True)` then `ntt_from_bitrev` —
+    the permutation-free round trip every LDE/commit pass runs — at two
+    transforms per iteration."""
     import jax
 
-    from ..ops import f128
+    from ..ops import f128, ntt as _ntt
 
     n = 1 << log2_n
     rng = np.random.default_rng(11)
     vals = f128.from_ints(np.asarray(
         rng.integers(0, 2 ** 62, size=n), dtype=object))
-    t, t1, (k1, k2) = device_ntt_seconds(vals, reps)
+    if bitrev:
+        body = lambda v: _ntt.ntt_from_bitrev(_ntt.ntt_bitrev(v, True))
+        t, t1, (k1, k2) = device_ntt_seconds(vals, reps, body, per_iter=2)
+    else:
+        t, t1, (k1, k2) = device_ntt_seconds(vals, reps)
     bfly = (n // 2) * log2_n
     rate = bfly / t
     out = {
-        "section": "ntt_utilization",
+        "section": "ntt_bitrev_utilization" if bitrev else "ntt_utilization",
         "backend": jax.default_backend(),
         "log2_n": log2_n,
         "chain": [k1, k2],
@@ -203,6 +218,10 @@ def main(argv=None) -> int:
         rows.append(ntt_utilization(logn, args.reps,
                                     peak["u32_ops_per_s"],
                                     cost["ops_per_butterfly"]))
+        rows.append(ntt_utilization(logn, args.reps,
+                                    peak["u32_ops_per_s"],
+                                    cost["ops_per_butterfly"],
+                                    bitrev=True))
     for r in rows:
         print(json.dumps(r))
     if args.csv:

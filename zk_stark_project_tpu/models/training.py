@@ -375,7 +375,8 @@ class TrainingUpdateProver:
 def build_polys_streamed(prover: "TrainingUpdateProver",
                          col_block: int = 24,
                          host_chain: bool = None) -> "jnp.ndarray":
-    """(8, 240, n) trace COEFFICIENT table for a huge-trace prover,
+    """(4, 240, n) packed trace COEFFICIENT table (BIT-REVERSED storage
+    order — `prover/big`'s convention) for a huge-trace prover,
     assembled + interpolated column-block-wise so the 8 GB trace, its
     masks and the iNTT temporaries are never resident together (the
     normal build OOMs a 16 GB chip at n = 2^20).  Also computes the
@@ -442,13 +443,15 @@ def build_polys_streamed(prover: "TrainingUpdateProver",
         # `prover/big._slice_cols` unpacks per streamed block)
         return _jax.lax.dynamic_update_slice(
             buf, f128.to_uint32_words(
-                ntt.interpolate(jnp.swapaxes(vals, 1, 2))), (0, start, 0))
+                ntt.interpolate_bitrev(jnp.swapaxes(vals, 1, 2))),
+            (0, start, 0))
 
     @functools.partial(_jax.jit, donate_argnums=(0,))
     def store_mask_block(buf, mask, start):
         return _jax.lax.dynamic_update_slice(
             buf, f128.to_uint32_words(
-                ntt.interpolate(jnp.swapaxes(mask, 1, 2))), (0, start, 0))
+                ntt.interpolate_bitrev(jnp.swapaxes(mask, 1, 2))),
+            (0, start, 0))
 
     buf = jnp.zeros((4, 2 * half, n), jnp.uint32)
     for s in range(0, half, col_block):

@@ -444,12 +444,13 @@ def build_polys_streamed_v2(prover: TrainingUpdateV2Prover,
         # stored PACKED as (4, W, n) canonical words (see the v1 builder)
         return _jax.lax.dynamic_update_slice(
             buf, f128.to_uint32_words(
-                ntt.interpolate(jnp.swapaxes(vals, 1, 2))), (0, start, 0))
+                ntt.interpolate_bitrev(jnp.swapaxes(vals, 1, 2))),
+            (0, start, 0))
 
     @functools.partial(_jax.jit, donate_argnums=(0,))
     def store_plain_block(buf, vals_cols, start):
         return _jax.lax.dynamic_update_slice(
-            buf, f128.to_uint32_words(ntt.interpolate(vals_cols)),
+            buf, f128.to_uint32_words(ntt.interpolate_bitrev(vals_cols)),
             (0, start, 0))
 
     buf = jnp.zeros((4, WIDTH, n), jnp.uint32)

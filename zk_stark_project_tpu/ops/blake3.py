@@ -141,7 +141,19 @@ def hash_words(words: jnp.ndarray, byte_len: int) -> jnp.ndarray:
     """
     assert byte_len % 4 == 0 and words.shape[-1] == byte_len // 4, \
         f"words {words.shape} vs byte_len {byte_len}"
-    batch = words.shape[:-1]
+    return _bl(hash_words_wf(_wf(words), byte_len))
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def hash_words_wf(wf: jnp.ndarray, byte_len: int) -> jnp.ndarray:
+    """`hash_words` with WORDS-FIRST input and output: wf (W,) + batch,
+    returns (8,) + batch digests.  Callers that can build the message in
+    words-first layout (e.g. FRI's transposed-coset leaves at 2^24 rows)
+    avoid the boundary transposes entirely — a batch-last (N, W) operand
+    with a small W costs a lane-padded relayout at large N."""
+    assert byte_len % 4 == 0 and wf.shape[0] == byte_len // 4, \
+        f"words-first {wf.shape} vs byte_len {byte_len}"
+    batch = wf.shape[1:]
     nb = len(batch)
     n_chunks = max(1, (byte_len + ref.CHUNK_LEN - 1) // ref.CHUNK_LEN)
     single_chunk = n_chunks == 1
@@ -167,7 +179,6 @@ def hash_words(words: jnp.ndarray, byte_len: int) -> jnp.ndarray:
             flags_np[c, i] = fl
 
     # ---- words-first blocks: (max_blocks, 16, n_chunks) + batch ----
-    wf = _wf(words)                                     # (W,) + batch
     total = n_chunks * max_blocks * 16
     pad = total - wf.shape[0]
     if pad:
@@ -207,7 +218,7 @@ def hash_words(words: jnp.ndarray, byte_len: int) -> jnp.ndarray:
     # chunk_cvs: (8, n_chunks) + batch
 
     if single_chunk:
-        return _bl(chunk_cvs[:, 0])
+        return chunk_cvs[:, 0]
 
     # ---- left-heavy blake3 tree merge over chunk CVs (static recursion) ----
     def subtree(lo, hi, is_root):
@@ -222,7 +233,7 @@ def hash_words(words: jnp.ndarray, byte_len: int) -> jnp.ndarray:
                          jnp.concatenate([left, right], axis=0),
                          0, 0, 64, fl)
 
-    return _bl(subtree(0, n_chunks, True))
+    return subtree(0, n_chunks, True)
 
 
 @jax.jit

@@ -393,14 +393,115 @@ def ntt_stages_dif(x: jnp.ndarray, stw: jnp.ndarray, tw_ext: jnp.ndarray,
     `scale` (optional, same shape as x): elementwise pre-multiplier fused
     into the kernel (the four-step mid twiddle).
     Bit-exact vs take(ntt natural output, bitrev)."""
+    return _dif_dit_call(_ntt_stages_dif_kernel, x, stw, tw_ext, masks,
+                         scale)
+
+
+def _ntt_stages_dit_kernel(*refs, logn: int, rows: int, has_scale: bool):
+    """DIT stages, BIT-REVERSED input -> natural output — the execution
+    mirror of `_ntt_stages_dif_kernel` (same op-count optimizations):
+    stage 1 (m=2, twiddle 1) is mul-free, the small-m stages run the
+    packed roll formulation, and the last stages (half >= 64 lanes) run
+    as contiguous static slices with half-width muls.  Stage s has block
+    size m = 2^s: out[j] = u + t, out[j+m/2] = u - t with u = x[j],
+    t = w_m^(j mod m) * x[j+m/2].  With `has_scale`, inputs are
+    multiplied by the extra operand first (the four-step mid twiddle)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if has_scale:
+        x_ref, stw_ref, tw_ref, mask_ref, scale_ref, o_ref = refs
+    else:
+        x_ref, stw_ref, tw_ref, mask_ref, o_ref = refs
+        scale_ref = None
+    n = 1 << logn
+    n_sliced = _dif_n_sliced(logn)
+
+    def roll(v, shift):
+        return pltpu.roll(v, shift=shift, axis=v.ndim - 1)
+
+    xl = [x_ref[i] for i in range(8)]
+    if scale_ref is not None:
+        xl = _mul_limbs(xl, [scale_ref[i] for i in range(8)])
+
+    # -- stage 1 (m=2): twiddle = 1, pure add/sub --------------------------
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
+    even = (lane & 1) == 0
+    summ = _add_limbs(xl, [roll(v, n - 1) for v in xl])
+    diff = _sub_limbs([roll(v, 1) for v in xl], xl)
+    xl = [jnp.where(even, a, d) for a, d in zip(summ, diff)]
+
+    # -- small-m stages: roll formulation, packed mul ----------------------
+    # t = tw * x[j+half] is only read at LOWER half-positions (directly,
+    # and via roll(+half) for the upper outputs), so two 8-aligned row
+    # halves share one half-volume mul exactly like the DIF kernel's
+    # packed path (table: own twiddle at lower lanes, +half neighbour's
+    # at upper — `ntt._dit_tables`).
+    packed_rows = rows % 16 == 0
+
+    def stage(r, xl):
+        xl = list(xl)
+        s = r + 2                                   # block size m = 2^s
+        half = jax.lax.shift_left(jnp.int32(1), s - 1)
+        rolled = [roll(v, n - half) for v in xl]    # x[p+half] at p
+        if packed_rows:
+            r2 = rows // 2
+            low_h = jnp.broadcast_to(mask_ref[pl.ds(r, 1), :] != 0,
+                                     (r2, n))
+            twl = [jnp.broadcast_to(tw_ref[i, pl.ds(r, 1), :], (r2, n))
+                   for i in range(8)]
+            pk = [jnp.where(low_h, v[:r2], roll(v[r2:], half))
+                  for v in rolled]
+            tp = _mul_limbs(twl, pk)
+            t = [jnp.concatenate([a, roll(a, n - half)], axis=0)
+                 for a in tp]
+        else:
+            twl = [jnp.broadcast_to(tw_ref[i, pl.ds(r, 1), :], (rows, n))
+                   for i in range(8)]
+            t = _mul_limbs(twl, rolled)
+        summ = _add_limbs(xl, t)
+        diffd = _sub_limbs([roll(v, half) for v in xl],
+                           [roll(v, half) for v in t])
+        lower = jnp.broadcast_to(mask_ref[pl.ds(r, 1), :] != 0, (rows, n))
+        return tuple(jnp.where(lower, a, d) for a, d in zip(summ, diffd))
+
+    n_roll = max(0, logn - 1 - n_sliced)
+    xl = jax.lax.fori_loop(0, n_roll, stage, tuple(xl))
+
+    # -- large-m stages: contiguous half-blocks, half-width muls -----------
+    xl = list(xl)
+    for q in range(n_sliced):
+        s = logn - n_sliced + 1 + q
+        m = 1 << s
+        half = m >> 1
+        twl = [jnp.broadcast_to(stw_ref[i, pl.ds(q, 1), :half],
+                                (rows, half)) for i in range(8)]
+        segs = [[] for _ in range(8)]
+        for b in range(n >> s):
+            off = b * m
+            u = [v[:, off:off + half] for v in xl]
+            w = [v[:, off + half:off + m] for v in xl]
+            t = _mul_limbs(twl, w)
+            su = _add_limbs(u, t)
+            sd = _sub_limbs(u, t)
+            for i in range(8):
+                segs[i].append(su[i])
+                segs[i].append(sd[i])
+        xl = [jnp.concatenate(parts, axis=1) for parts in segs]
+    _store_limbs(o_ref, xl)
+
+
+def _dif_dit_call(kern_body, x, stw, tw_ext, masks, scale):
+    """Shared pallas_call wrapper for the DIF and DIT stage kernels
+    (identical tiling, specs and scale-operand handling)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = x.shape[-1]
     logn = n.bit_length() - 1
     b = x.shape[1]
-    # same tile budget as the DIT kernel: ~10 live (rows, n) u32 planes
-    # per limb mid-mul; 2^16 elems/tile blew the 16M scoped-vmem limit
+    # ~10 live (rows, n) u32 planes per limb mid-mul; 2^16 elems/tile
+    # blew the 16M scoped-vmem limit
     if b <= max(1, (1 << 15) // n):
         rows = b
     else:
@@ -429,29 +530,22 @@ def ntt_stages_dif(x: jnp.ndarray, stw: jnp.ndarray, tw_ext: jnp.ndarray,
         if sb == b_pad:
             in_specs.append(data_spec)
         elif rows <= sb and sb % rows == 0 and b_pad % sb == 0:
-            # scale repeats every `sb` rows (a per-column table shared by
-            # the whole batch): tile it via the index map instead of
-            # materializing the broadcast
+            # scale repeats every `sb` rows: tile via the index map
             n_tiles = sb // rows
             in_specs.append(pl.BlockSpec(
                 (8, rows, n), lambda i: (0, i % n_tiles, 0),
                 memory_space=pltpu.VMEM))
         elif rows % sb == 0:
-            # tile spans whole repeats of the table: expand the table to
-            # one tile's worth and read it as a constant block
             scale = jnp.tile(scale, (1, rows // sb, 1))
             in_specs.append(pl.BlockSpec(
                 (8, rows, n), lambda i: (0, 0, 0),
                 memory_space=pltpu.VMEM))
         else:
-            # irregular split — materialize the full broadcast (ceil the
-            # repeat count: sb need not divide b_pad, and a short tile
-            # would fail the BlockSpec shape check)
             reps = (b_pad + sb - 1) // sb
             scale = jnp.tile(scale, (1, reps, 1))[:, :b_pad]
             in_specs.append(data_spec)
         args.append(scale)
-    kern = functools.partial(_ntt_stages_dif_kernel, logn=logn, rows=rows,
+    kern = functools.partial(kern_body, logn=logn, rows=rows,
                              has_scale=scale is not None)
     out = pl.pallas_call(
         kern,
@@ -462,6 +556,23 @@ def ntt_stages_dif(x: jnp.ndarray, stw: jnp.ndarray, tw_ext: jnp.ndarray,
         interpret=_interpret(),
     )(*args)
     return out[:, :b] if b_pad != b else out
+
+
+def ntt_stages_dit(x: jnp.ndarray, stw: jnp.ndarray, tw_ext: jnp.ndarray,
+                   masks: jnp.ndarray, scale: jnp.ndarray = None
+                   ) -> jnp.ndarray:
+    """All DIT butterfly stages fused: BIT-REVERSED input (in[p] =
+    c[rev(p)]) -> natural-order transform output.
+
+    x: (8, B, n) u32 red128 limbs.  stw: (8, S, n/2) sliced-stage twiddles
+    (last S stages, largest blocks); tw_ext: (8, R, n) roll-stage twiddle
+    table (own twiddle at lower positions, +half neighbour's at upper);
+    masks: (R, n) u32, 1 on lower half-positions.  Tables from
+    `ntt._dit_tables`.  `scale` (optional): elementwise pre-multiplier
+    fused into the kernel (the four-step mid twiddle).
+    Bit-exact vs ntt(take(x, bitrev))."""
+    return _dif_dit_call(_ntt_stages_dit_kernel, x, stw, tw_ext, masks,
+                         scale)
 
 
 def ntt_stages(x: jnp.ndarray, tw_ext: jnp.ndarray,

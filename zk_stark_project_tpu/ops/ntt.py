@@ -181,6 +181,76 @@ def _dif_tables(logn: int, inverse: bool):
     return stw, tw_ext, masks
 
 
+@functools.lru_cache(maxsize=None)
+def _dit_tables(logn: int, inverse: bool):
+    """Twiddle tables for the fused DIT kernel (`f128_pallas.ntt_stages_dit`)
+    — the execution mirror of `_dif_tables`.  Stage s has block size
+    m = 2^s (ascending): stage 1 is mul-free, stages 2..logn-S run the
+    roll formulation, the last S = `_dif_n_sliced` stages are sliced.
+
+    Returns (stw, tw_ext, masks):
+      * stw (8, S, n/2): sliced-stage tables, sliced index q (stage
+        s = logn-S+1+q, m = 2^s) at [:, q, :m/2] holding w_m^0..;
+      * tw_ext (8, R, n): roll-stage twiddles, roll index r (stage
+        s = r+2): position j holds w_m^(j mod m) on lower half-positions
+        and w_m^(j mod m - m/2) on upper (the packed-mul neighbour);
+      * masks (R, n): 1 on lower half-positions.
+    """
+    from . import f128_pallas as fp
+
+    n = 1 << logn
+    tw_full = np.asarray(_twiddles(logn, inverse))        # (8, n/2)
+    n_sliced = fp._dif_n_sliced(logn)
+    stw = np.zeros((8, max(n_sliced, 1), n // 2), np.uint32)
+    for q in range(n_sliced):
+        s = logn - n_sliced + 1 + q
+        m = 1 << s
+        half = m >> 1
+        idx = np.arange(half) << (logn - s)               # w_m^i
+        stw[:, q, :half] = tw_full[:, idx]
+    n_roll = max(0, logn - 1 - n_sliced)
+    tw_ext = np.zeros((8, max(n_roll, 1), n), np.uint32)
+    masks = np.zeros((max(n_roll, 1), n), np.uint32)
+    pos = np.arange(n)
+    for r in range(n_roll):
+        s = r + 2
+        m = 1 << s
+        half = m >> 1
+        j = pos % m
+        upper = j >= half
+        exp = np.where(upper, j - half, j) << (logn - s)
+        tw_ext[:, r, :] = tw_full[:, exp]
+        masks[r] = (~upper).astype(np.uint32)
+    return stw, tw_ext, masks
+
+
+def _dit(values: jnp.ndarray, logn: int, inverse: bool,
+         scale: jnp.ndarray = None) -> jnp.ndarray:
+    """DIT transform along the last axis: BIT-REVERSED input (in[p] =
+    c[rev(p)]) -> natural-order output, no 1/n scaling.  Pallas kernel
+    when supported, else the jnp mirror (scale + DIT stage loop).
+
+    `scale` (optional): (8, R, n) elementwise pre-multiplier where the
+    flattened batch repeats every R rows — fused into the kernel (the
+    four-step mid twiddle)."""
+    from . import f128_pallas as fp
+
+    n = 1 << logn
+    batch = int(np.prod(values.shape[1:-1])) if values.ndim > 2 else 1
+    if f128.use_pallas() and fp.ntt_supported(logn, batch):
+        stw, tw_ext, masks = _dit_tables(logn, inverse)
+        flat = values.reshape((8, -1, n))
+        out = fp.ntt_stages_dit(flat, jnp.asarray(stw), jnp.asarray(tw_ext),
+                                jnp.asarray(masks), scale=scale)
+        return out.reshape(values.shape)
+    if scale is not None:
+        flat = values.reshape((8, -1, n))
+        reps = flat.shape[1] // scale.shape[1]
+        values = f128.mul(flat, jnp.tile(scale, (1, reps, 1))
+                          ).reshape(values.shape)
+    return _apply_stages(values, logn, inverse)
+
+
 def _dif(values: jnp.ndarray, logn: int, inverse: bool,
          scale: jnp.ndarray = None) -> jnp.ndarray:
     """DIF transform along the last axis: natural input -> BIT-REVERSED
@@ -259,6 +329,124 @@ def _four_step(values: jnp.ndarray, logn: int, inverse: bool) -> jnp.ndarray:
     return out
 
 
+def _four_step_split(logn: int):
+    l1 = min(logn - logn // 2, 12)
+    return l1, logn - l1
+
+
+def _four_step_bitrev(values: jnp.ndarray, logn: int,
+                      inverse: bool) -> jnp.ndarray:
+    """Four-step NTT, natural input -> GLOBAL-BIT-REVERSED output, with
+    ZERO permutation passes: the DIF inner transforms leave the grid as
+    D[rev(k1), rev(k2)] (k = k1 + n1*k2), whose flat index
+    rev_l1(k1)*n2 + rev_l2(k2) IS rev_n(k) — so dropping `_four_step`'s
+    final two un-reverse gathers + transpose yields the bitrev layout
+    for free.  The 1/n scaling for inverse transforms is elementwise
+    (order-independent)."""
+    n = 1 << logn
+    l1, l2 = _four_step_split(logn)
+    n1, n2 = 1 << l1, 1 << l2
+    batch = values.shape[:-1]
+    v = values.reshape(batch + (n1, n2))
+    v = jnp.swapaxes(v, -1, -2)                      # (..., n2, j1)
+    v = _dif(v, l1, inverse)                         # B[j2, rev(k1)]
+    v = jnp.swapaxes(v, -1, -2)                      # (..., rev(k1), j2)
+    from ..prover import poly as _poly
+    base = jnp.take(jnp.asarray(
+        _offset_powers(l1, _root_int(logn, inverse), False)),
+        jnp.asarray(_bitrev_np(l1).astype(np.int32)), axis=-1)
+    tw_t = _poly.powers_of_b(base, n2)               # (8, n1, n2)
+    v = _dif(v, l2, inverse, scale=tw_t)             # D[rev(k1), rev(k2)]
+    return v.reshape(batch + (n,))
+
+
+def _four_step_from_bitrev(values: jnp.ndarray, logn: int,
+                           inverse: bool) -> jnp.ndarray:
+    """Four-step NTT of coefficients stored in GLOBAL-BIT-REVERSED order
+    -> natural-order output, zero permutation passes (the dual of
+    `_four_step_bitrev`).
+
+    With storage grid S[r1, r2] (r1 = rev_l1(k1), r2 = rev_l2(k2),
+    k = k1 + n1*k2) and output index j = jA*n2 + jB:
+
+        T[r1, jB]  = DIT over axis -1          (rev(k2)-ordered input)
+        U          = T * w^(jB * rev(r1))        (fused into pass 2)
+        V[jB, jA]  = DIT over r1 after one transpose
+        A[j]       = V via one transpose + reshape
+    """
+    n = 1 << logn
+    l1, l2 = _four_step_split(logn)
+    n1, n2 = 1 << l1, 1 << l2
+    batch = values.shape[:-1]
+    v = values.reshape(batch + (n1, n2))             # S[r1, r2]
+    v = _dit(v, l2, inverse)                         # T[r1, jB]
+    v = jnp.swapaxes(v, -1, -2)                      # (..., jB, r1)
+    from ..prover import poly as _poly
+    # mid twiddle in pass-2 orientation: M[jB, r1] = w^(jB * rev(r1)) —
+    # bitrev-ordered powers of w^jB per row, built by level doubling
+    base = jnp.asarray(_offset_powers(l2, _root_int(logn, inverse),
+                                      False))       # (8, n2): w^jB
+    tw_t = _poly.powers_of_b_bitrev(base, n1)        # (8, n2, n1)
+    v = _dit(v, l1, inverse, scale=tw_t)             # V[jB, jA]
+    v = jnp.swapaxes(v, -1, -2)                      # (..., jA, jB)
+    return v.reshape(batch + (n,))
+
+
+def _scale_n_inv(a: jnp.ndarray, logn: int) -> jnp.ndarray:
+    return f128.mul(a, jnp.broadcast_to(
+        _n_inv_limbs(logn).reshape((8,) + (1,) * (a.ndim - 1)), a.shape))
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def ntt_bitrev(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """NTT/iNTT of natural-order input with BIT-REVERSED output
+    (out[p] = X[rev(p)]) — no unscramble pass at any size.  The prover's
+    internal coefficient convention: an iNTT -> coset-NTT round trip via
+    `ntt_from_bitrev` pays zero data permutations."""
+    n = values.shape[-1]
+    logn = n.bit_length() - 1
+    assert 1 << logn == n, "NTT size must be a power of two"
+    if n == 1:
+        return values
+    from . import f128_pallas as fp
+
+    batch = int(np.prod(values.shape[1:-1])) if values.ndim > 2 else 1
+    if (f128.use_pallas() and logn > fp.NTT_MAX_LOG2
+            and not fp.ntt_supported(logn, batch)):
+        out = _four_step_bitrev(values, logn, inverse)
+    elif f128.use_pallas() and fp.ntt_supported(logn, batch):
+        out = _dif(values, logn, inverse)
+    else:
+        rev = jnp.asarray(_bitrev_np(logn))
+        out = jnp.take(_apply_stages(jnp.take(values, rev, axis=-1),
+                                     logn, inverse), rev, axis=-1)
+    return _scale_n_inv(out, logn) if inverse else out
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def ntt_from_bitrev(values: jnp.ndarray,
+                    inverse: bool = False) -> jnp.ndarray:
+    """NTT/iNTT of BIT-REVERSED-order input (in[p] = c[rev(p)]) with
+    natural-order output — no unscramble pass at any size."""
+    n = values.shape[-1]
+    logn = n.bit_length() - 1
+    assert 1 << logn == n, "NTT size must be a power of two"
+    if n == 1:
+        return values
+    from . import f128_pallas as fp
+
+    batch = int(np.prod(values.shape[1:-1])) if values.ndim > 2 else 1
+    if (f128.use_pallas() and logn > fp.NTT_MAX_LOG2
+            and not fp.ntt_supported(logn, batch)):
+        out = _four_step_from_bitrev(values, logn, inverse)
+    elif f128.use_pallas() and fp.ntt_supported(logn, batch):
+        out = _dit(values, logn, inverse)
+    else:
+        # bit-reversed input is exactly what the DIT stage loop wants
+        out = _apply_stages(values, logn, inverse)
+    return _scale_n_inv(out, logn) if inverse else out
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def ntt(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     """In-order NTT/iNTT over the size-n subgroup.  values: (8, ..., n)."""
@@ -294,21 +482,22 @@ def interpolate(evals: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _offset_powers(log2_n: int, offset: int, inverse: bool) -> jnp.ndarray:
-    """offset^0..offset^(n-1) (or inverse offset), shape (8, n).  Concrete
-    even under an enclosing trace (see `_twiddles`)."""
+def _offset_powers(log2_n: int, offset: int, inverse: bool,
+                   bitrev: bool = False) -> jnp.ndarray:
+    """offset^0..offset^(n-1) (or inverse offset), shape (8, n); with
+    `bitrev`, out[:, p] = offset^rev(p) (bit b of the index contributes
+    exponent 2^(log2_n-1-b) — same doubling cost).  Concrete even under
+    an enclosing trace (see `_twiddles`)."""
     n = 1 << log2_n
     o = ref.inv(offset) if inverse else (offset % P)
 
     with jax.ensure_compile_time_eval():
         powers = f128.ones((1,))
-        step = f128.from_int(o)
-        cur = 1
-        while cur < n:
-            scale = f128._mul_jnp(powers[:, cur - 1:cur], step)
+        for lev in range(log2_n):
+            e = (1 << (log2_n - 1 - lev)) if bitrev else (1 << lev)
+            scale = f128.from_int(pow(o, e, P))
             powers = jnp.concatenate(
                 [powers, f128._mul_jnp(powers, scale)], axis=1)
-            cur *= 2
         return np.asarray(jax.block_until_ready(powers[:, :n]))
 
 
@@ -319,26 +508,29 @@ def _offset_powers(log2_n: int, offset: int, inverse: bool) -> jnp.ndarray:
 _TABLE_CONST_MAX_LOG2 = 18
 
 
-def _offset_powers_traced(log2_n: int, offset: int,
-                          inverse: bool) -> jnp.ndarray:
-    """(8, n) table of offset^0..offset^(n-1) built inside the current
-    trace by repeated doubling — only log2_n small (8, 1) constants enter
-    the graph, so big-domain executables stay compile-service-sized."""
+def _offset_powers_traced(log2_n: int, offset: int, inverse: bool,
+                          bitrev: bool = False) -> jnp.ndarray:
+    """(8, n) table of offset^0..offset^(n-1) (offset^rev(i) with
+    `bitrev`) built inside the current trace by repeated doubling — only
+    log2_n small (8, 1) constants enter the graph, so big-domain
+    executables stay compile-service-sized."""
     n = 1 << log2_n
     o = ref.inv(offset) if inverse else (offset % P)
     powers = f128.ones((1,))
     for k in range(log2_n):
-        scale = f128.from_ints([pow(o, 1 << k, P)])  # tiny (8, 1) constant
+        e = (1 << (log2_n - 1 - k)) if bitrev else (1 << k)
+        scale = f128.from_ints([pow(o, e, P)])       # tiny (8, 1) constant
         powers = jnp.concatenate(
             [powers, f128.mul(powers, scale)], axis=1)
     return powers[:, :n]
 
 
-def offset_powers_any(log2_n: int, offset: int, inverse: bool) -> jnp.ndarray:
+def offset_powers_any(log2_n: int, offset: int, inverse: bool,
+                      bitrev: bool = False) -> jnp.ndarray:
     """Offset-power table, constant for small domains, in-graph for big."""
     if log2_n <= _TABLE_CONST_MAX_LOG2:
-        return jnp.asarray(_offset_powers(log2_n, offset, inverse))
-    return _offset_powers_traced(log2_n, offset, inverse)
+        return jnp.asarray(_offset_powers(log2_n, offset, inverse, bitrev))
+    return _offset_powers_traced(log2_n, offset, inverse, bitrev)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -369,6 +561,48 @@ def coset_interpolate(evals: jnp.ndarray, offset: int) -> jnp.ndarray:
     coeffs = ntt(evals, inverse=True)
     po_inv = offset_powers_any(logn, offset, True)
     return f128.mul(coeffs, po_inv.reshape((8,) + (1,) * (coeffs.ndim - 2) + (n,)))
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def interpolate_bitrev(evals: jnp.ndarray, offset: int = 1) -> jnp.ndarray:
+    """Evaluations over offset*<w_n> (natural domain order) ->
+    coefficients in BIT-REVERSED storage order (out[p] = c[rev(p)]) —
+    zero permutation passes.  offset=1 is the plain trace-subgroup
+    interpolation; otherwise the offset un-scaling multiplies by a
+    bitrev-ordered inverse-power table (elementwise, no gather)."""
+    n = evals.shape[-1]
+    logn = n.bit_length() - 1
+    coeffs = ntt_bitrev(evals, inverse=True)
+    if offset == 1:
+        return coeffs
+    po_inv = offset_powers_any(logn, offset, True, bitrev=True)
+    return f128.mul(coeffs, po_inv.reshape(
+        (8,) + (1,) * (coeffs.ndim - 2) + (n,)))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def coset_evaluate_from_bitrev(coeffs_br: jnp.ndarray, offset: int,
+                               blowup: int = 1) -> jnp.ndarray:
+    """Evaluate polys stored in BIT-REVERSED coefficient order over the
+    coset offset*<w_N> (N = blowup*n), natural domain order out.
+
+    Degree-raising zero-pad in bitrev storage is interleaved stuffing,
+    not a concat: coefficient k < n sits at rev_N(k) = blowup*rev_n(k),
+    so out[p] = c_br[p/blowup] iff blowup | p — ONE lax.pad with
+    interior padding (an (..., n, blowup) expand-and-reshape materializes
+    a lane-padded temp: 4 GB at 2^20/blowup-16, OOM'd the DEEP phase).
+    The offset scale uses a bitrev-ordered power table."""
+    n = coeffs_br.shape[-1]
+    N = n * blowup
+    if blowup > 1:
+        cfg = [(0, 0, 0)] * (coeffs_br.ndim - 1) + [(0, blowup - 1,
+                                                     blowup - 1)]
+        coeffs_br = jax.lax.pad(coeffs_br, jnp.uint32(0), cfg)
+    logN = N.bit_length() - 1
+    po = offset_powers_any(logN, offset, False, bitrev=True)
+    scaled = f128.mul(coeffs_br, po.reshape(
+        (8,) + (1,) * (coeffs_br.ndim - 2) + (N,)))
+    return ntt_from_bitrev(scaled)
 
 
 # ---------------------------------------------------------------------------

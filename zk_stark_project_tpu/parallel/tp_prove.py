@@ -94,9 +94,12 @@ def _leaves_fri_t(evals_t: jnp.ndarray) -> jnp.ndarray:
 def _lde_commit_fn(mesh: Mesh, ax: str, blowup: int, offset: int,
                    big_n: int, d: int):
     def kernel(block):
-        # block: (8, C, W/D, n) — this device's columns
-        polys_l = ntt.interpolate(block)
-        lde_l = ntt.coset_evaluate(polys_l, offset, blowup)  # (8,C,W/D,N)
+        # block: (8, C, W/D, n) — this device's columns; coefficients in
+        # the BIT-REVERSED storage convention (matches `phases`, so the
+        # shared ood_eval/composition consumers line up)
+        polys_l = ntt.interpolate_bitrev(block)
+        lde_l = ntt.coset_evaluate_from_bitrev(polys_l, offset,
+                                               blowup)      # (8,C,W/D,N)
         # re-shard columns -> domain points (THE collective of this phase)
         rows = jax.lax.all_to_all(lde_l, ax, split_axis=3,
                                   concat_axis=2, tiled=True)  # (8,C,W,N/D)
@@ -156,8 +159,9 @@ def _composition_fn(mesh: Mesh, ax: str, kind: str, n: int, ce_blowup: int,
     def kernel(polys_block, tparams_k, alphas_t_k, group_alphas_k,
                group_vals_k, domain_l, zer_inv_l, lin_inv_l,
                periodic_l=None):
-        # polys_block: (8, C, W/D, n) — CE evaluate + reshard to domain
-        ce_l = ntt.coset_evaluate(polys_block, offset, ce_blowup)
+        # polys_block: (8, C, W/D, n) bitrev — CE evaluate + reshard
+        ce_l = ntt.coset_evaluate_from_bitrev(polys_block, offset,
+                                              ce_blowup)
         ce = jax.lax.all_to_all(ce_l, ax, split_axis=3, concat_axis=2,
                                 tiled=True)       # (8, C, W, Dce/D)
         if kind == "zero":
@@ -185,9 +189,15 @@ def _composition_fn(mesh: Mesh, ax: str, kind: str, n: int, ce_blowup: int,
         # gather the ONE composition column (O(Dce) — tiny vs phase
         # work) and re-expand replicated, then commit domain-sharded
         total_full = jax.lax.all_gather(total, ax, axis=2, tiled=True)
-        coeffs_full = ntt.coset_interpolate(total_full, offset)
-        comp_cols = coeffs_full.reshape(8, c, ce_blowup, n)[:, :, :m]
-        comp_lde = ntt.coset_evaluate(comp_cols, offset, blowup)
+        coeffs_br = ntt.interpolate_bitrev(total_full, offset)
+        log_cb = ce_blowup.bit_length() - 1
+        rev_cb = ([int(x) for x in ntt._bitrev_np(log_cb)]
+                  if log_cb else [0])
+        comp_cols = jnp.stack(
+            [coeffs_br[..., rev_cb[col]::ce_blowup] for col in range(m)],
+            axis=2)
+        comp_lde = ntt.coset_evaluate_from_bitrev(comp_cols, offset,
+                                                  blowup)
         idx = jax.lax.axis_index(ax)
         chunk = jax.lax.dynamic_slice_in_dim(
             comp_lde, idx * (big_n // d), big_n // d, axis=3)

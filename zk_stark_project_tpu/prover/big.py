@@ -16,8 +16,10 @@ working set:
     1024-byte chunk) via `ops/blake3.chunk_cv`, so only a 64-column
     block's coset evaluation (2 GB) is ever resident; chunk CVs merge
     into leaf digests, scattered into the (2^24, 8) leaf array;
-  * composition: for the inert v1 AIR (SURVEY.md pin #3) boundary
-    quotients accumulate per column block over the CE domain; AIRs with
+  * composition: for the inert v1 AIR (SURVEY.md pin #3) the per-step
+    boundary numerator sum_j coeff_j (T_j - v_j) is accumulated as ONE
+    combined coefficient vector per assertion step (column-block
+    streamed), then evaluated once per step on the CE domain; AIRs with
     REAL transition constraints (e.g. the sound v2) stream per
     interleaved coset of the trace subgroup instead
     (`_streamed_transition_quotient`) — within a coset the next-row
@@ -75,7 +77,7 @@ def _inplace_intt_block(buf: jnp.ndarray, start: jnp.ndarray,
     blk = jax.lax.dynamic_slice(
         buf, (0, start, 0), (8, block, buf.shape[2]))
     return jax.lax.dynamic_update_slice(
-        buf, ntt.interpolate(blk), (0, start, 0))
+        buf, ntt.interpolate_bitrev(blk), (0, start, 0))
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -84,8 +86,9 @@ def _slice_cols(polys: jnp.ndarray, start: jnp.ndarray,
     """Columns [start, start+block) of the coefficient table as (8, B, n)
     red128 limbs.  The table may be stored PACKED as (4, W, n) canonical
     u32 words — half the bytes of the 8x16-bit limb form; at 2^20 x 240
-    columns the unpacked table alone (7.7 GB) left no headroom on the
-    chip (measured ~10 GB usable HBM through the tunnel)."""
+    columns the unpacked table alone (7.7 GB) cannot coexist with any
+    working set (usable HBM through the pool tunnel measured only
+    ~5-7 GB in round 5; the packed 3.85 GB table + one block fits)."""
     lead = polys.shape[0]
     blk = jax.lax.dynamic_slice(polys, (0, start, 0),
                                 (lead, block, polys.shape[2]))
@@ -95,11 +98,13 @@ def _slice_cols(polys: jnp.ndarray, start: jnp.ndarray,
 @jax.jit
 def _coset_eval_words(polys_blk: jnp.ndarray,
                       coset_offset_limbs) -> jnp.ndarray:
-    """Evaluate a column block on one coset (plain NTT of offset-scaled
-    coeffs) and lay the canonical words out row-major: (n, B*4)."""
+    """Evaluate a column block on one coset and lay the canonical words
+    out row-major: (n, B*4).  Coefficients and the offset-power table are
+    in the module's BIT-REVERSED storage convention, so the coset NTT
+    pays zero unscramble passes (`ntt.ntt_from_bitrev`)."""
     n = polys_blk.shape[-1]
     scaled = f128.mul(polys_blk, coset_offset_limbs)
-    evals = ntt.ntt(scaled)                           # (8, B, n)
+    evals = ntt.ntt_from_bitrev(scaled)               # (8, B, n)
     words = f128.to_uint32_words(evals)               # (4, B, n)
     return jnp.transpose(words, (2, 1, 0)).reshape(n, -1)
 
@@ -113,8 +118,9 @@ def _scatter_coset(leaves: jnp.ndarray, digests: jnp.ndarray,
 
 
 def _offset_powers_dev(log2_n: int, offset: int) -> jnp.ndarray:
-    """(8, n) powers of `offset`, in-graph-friendly."""
-    return ntt.offset_powers_any(log2_n, offset, False)
+    """(8, n) powers of `offset` in BIT-REVERSED index order (matching
+    the coefficient storage convention), in-graph-friendly."""
+    return ntt.offset_powers_any(log2_n, offset, False, bitrev=True)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -138,9 +144,10 @@ def _accum_combine(acc: jnp.ndarray, blk: jnp.ndarray,
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
 def _eval_coset_block(buf: jnp.ndarray, scaled_blk: jnp.ndarray,
                       start: jnp.ndarray, _b: int) -> jnp.ndarray:
-    """buf[:, start:start+B] = NTT(scaled coeff block) (donated buffer)."""
+    """buf[:, start:start+B] = NTT(scaled coeff block) (donated buffer);
+    the block is in bitrev coefficient order."""
     return jax.lax.dynamic_update_slice(
-        buf, ntt.ntt(scaled_blk), (0, start, 0))
+        buf, ntt.ntt_from_bitrev(scaled_blk), (0, start, 0))
 
 
 def _streamed_transition_quotient(air: Air, polys: jnp.ndarray,
@@ -185,7 +192,7 @@ def _streamed_transition_quotient(air: Air, polys: jnp.ndarray,
                               f128.from_int(pow(g, s_, P)).reshape(8, 1)))
         for s_ in steps}
     periodic = air.periodic_rows()
-    per_polys = (ntt.interpolate(f128.from_ints(periodic))
+    per_polys = (ntt.interpolate_bitrev(f128.from_ints(periodic))
                  if periodic is not None else None)
     g_pows = ntt.offset_powers_any(log2_n, g, False)     # (8, n): g^q
 
@@ -202,7 +209,7 @@ def _streamed_transition_quotient(air: Air, polys: jnp.ndarray,
             buf = _eval_coset_block(buf, f128.mul(blk, off_pows),
                                     jnp.int32(s), e - s)
             throttle(buf)
-        pe_ci = (ntt.ntt(f128.mul(per_polys, off_pows))
+        pe_ci = (ntt.ntt_from_bitrev(f128.mul(per_polys, off_pows))
                  if per_polys is not None else None)
         # transitions in row chunks (cur = buf[..., q], nxt = q+1 wrapped)
         zer_inv_ci = f128.from_int(
@@ -251,9 +258,14 @@ def prove_big(air: Air, trace: TraceTable = None, col_block: int = 64,
     coset).  Transcript identical to `stark.prove_single_legacy`.
 
     Pass either `trace` (interpolated in place, block-wise) or `polys`
-    (a prebuilt (8, W, n) coefficient table, e.g. from
-    `models/training.build_polys_streamed` which never materializes the
-    full trace)."""
+    (a prebuilt (8, W, n) or packed (4, W, n) coefficient table in the
+    module's BIT-REVERSED storage convention — `ntt.interpolate_bitrev`
+    order, as produced by `models/training.build_polys_streamed` — which
+    never materializes the full trace).  The bitrev convention makes
+    every coset evaluation and the iNTTs permutation-free; all
+    transcript-visible values (roots, OOD ints, opened rows) are
+    order-independent extractions, so proofs are byte-identical to the
+    legacy path."""
     say = progress or (lambda *_: None)
     opts = air.options
     n = air.trace_length
@@ -396,14 +408,21 @@ def prove_big(air: Air, trace: TraceTable = None, col_block: int = 64,
         for s_ in steps:
             lin_inv_s = f128.inv(f128.sub(
                 domain_ce, f128.from_int(pow(g, s_, P)).reshape(8, 1)))
-            ce = ntt.coset_evaluate(acc[s_], offset, ce_blowup)
+            ce = ntt.coset_evaluate_from_bitrev(acc[s_], offset,
+                                                ce_blowup)
             diff = f128.sub(ce, f128.from_int(k_const[s_]).reshape(8, 1))
             total = f128.add(total, f128.mul(diff, lin_inv_s))
             throttle(total)
         del domain_ce, acc
-    comp_cols = ntt.coset_interpolate(total, offset).reshape(
-        8, ce_blowup, n)[:, :m]
-    del total
+    # composition column split in bitrev storage: degree segment `col`
+    # (coefficients col*n..col*n+n-1) occupies positions p = rev(col)
+    # (mod ce_blowup), bitrev-ordered within — strided slices, no gather
+    total_br = ntt.interpolate_bitrev(total, offset)
+    log_cb = ce_blowup.bit_length() - 1
+    rev_cb = ([int(x) for x in ntt._bitrev_np(log_cb)] if log_cb else [0])
+    comp_cols = jnp.stack(
+        [total_br[:, rev_cb[col]::ce_blowup] for col in range(m)], axis=1)
+    del total, total_br
     # streamed comp commit: per interleaved coset, evaluate the m comp
     # columns on the n-subgroup coset and hash rows — identical leaves to
     # `commit_rows(coset_evaluate(comp_cols, offset, blowup))` without the
@@ -425,8 +444,8 @@ def prove_big(air: Air, trace: TraceTable = None, col_block: int = 64,
     # ---- 4. OOD evaluations -------------------------------------------
     z = channel.coin.draw()
     zg = (z * g) % P
-    zpow = ntt._offset_powers_traced(log2_n, z, False)
-    zgpow = ntt._offset_powers_traced(log2_n, zg, False)
+    zpow = ntt._offset_powers_traced(log2_n, z, False, bitrev=True)
+    zgpow = ntt._offset_powers_traced(log2_n, zg, False, bitrev=True)
     ood_cur: List[int] = []
     ood_nxt: List[int] = []
     for s in range(0, w, col_block):
@@ -459,8 +478,8 @@ def prove_big(air: Air, trace: TraceTable = None, col_block: int = 64,
         throttle(cb)
     ca = _accum_combine(ca, comp_cols, f128.from_ints(
         np.asarray(g_cmp, dtype=object)))
-    big_a = ntt.coset_evaluate(ca, offset, blowup)     # (8, N)
-    big_b = ntt.coset_evaluate(cb, offset, blowup)
+    big_a = ntt.coset_evaluate_from_bitrev(ca, offset, blowup)  # (8, N)
+    big_b = ntt.coset_evaluate_from_bitrev(cb, offset, blowup)
     a_val = sum(c * v for c, v in zip(g_cur, ood_cur)) % P
     b_val = sum(c * v for c, v in zip(g_nxt, ood_nxt)) % P
     c_val = sum(c * v for c, v in zip(g_cmp, ood_comp)) % P
@@ -512,7 +531,7 @@ def prove_big(air: Air, trace: TraceTable = None, col_block: int = 64,
         for s in range(0, w, col_block):
             e = min(s + col_block, w)
             blk = _slice_cols(polys, jnp.int32(s), e - s)
-            evals = ntt.ntt(f128.mul(blk, off_pows))
+            evals = ntt.ntt_from_bitrev(f128.mul(blk, off_pows))
             col_chunks.append(jnp.take(evals, qidx, axis=-1))  # (8, B, Q)
             throttle(col_chunks[-1])
         vals = f128.to_ints(np.asarray(jnp.concatenate(col_chunks,
@@ -533,7 +552,7 @@ def prove_big(air: Air, trace: TraceTable = None, col_block: int = 64,
         off_c = (offset * pow(w24, c, P)) % P
         off_pows = _offset_powers_dev(log2_n, off_c)
         qidx = jnp.asarray(np.asarray(qs, dtype=np.int32))
-        evals = ntt.ntt(f128.mul(comp_cols, off_pows))     # (8, m, n)
+        evals = ntt.ntt_from_bitrev(f128.mul(comp_cols, off_pows))
         vals = f128.to_ints(np.asarray(jnp.take(evals, qidx, axis=-1)))
         for qi, q in enumerate(qs):
             comp_vals[q * blowup + c] = [int(vals[col, qi])

@@ -48,6 +48,36 @@ def num_fri_layers(trace_length: int, folding_factor: int,
     return layers
 
 
+def _ntt_small_axis1(v: jnp.ndarray, logf: int,
+                     inverse: bool) -> jnp.ndarray:
+    """NTT/iNTT of length F = 2^logf along AXIS -2 of (8, ..., F, m) —
+    the coset axis stays on LANES the whole time.  `ntt.ntt` along a
+    trailing F axis materializes (..., m, F) temps whose tiny lane dim
+    XLA pads to 128 (4 GB each at the 2^24-point first FRI layer —
+    blew the compile service).  F is tiny, so the stage loop unrolls."""
+    F = 1 << logf
+    m = v.shape[-1]
+    lead = v.shape[:-2]                               # (8, ...) batch dims
+    nb = len(lead) - 1
+    rev = ntt._bitrev_np(logf).astype(np.int32)
+    a = jnp.take(v, jnp.asarray(rev), axis=-2)        # (8, ..., F, m)
+    tw_full = ntt._twiddles(logf, inverse)            # (8, F/2)
+    for s in range(1, logf + 1):
+        blk = 1 << s
+        half = blk // 2
+        tw = tw_full[:, :: F // blk][:, :half]        # (8, half)
+        g = a.reshape(lead + (F // blk, blk, m))
+        u = g[..., :half, :]
+        t = f128.mul(g[..., half:, :],
+                     tw.reshape((8,) + (1,) * (nb + 1) + (half, 1)))
+        a = jnp.concatenate([f128.add(u, t), f128.sub(u, t)],
+                            axis=-2).reshape(lead + (F, m))
+    if inverse:
+        n_inv = f128.from_int(ref.inv(F)).reshape((8,) + (1,) * (nb + 2))
+        a = f128.mul(a, n_inv)
+    return a
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def fold_evals(evals: jnp.ndarray, beta: jnp.ndarray, offset: int,
                log2_n: int, factor: int) -> jnp.ndarray:
@@ -58,41 +88,49 @@ def fold_evals(evals: jnp.ndarray, beta: jnp.ndarray, offset: int,
     """
     n = 1 << log2_n
     m = n // factor
+    logf = factor.bit_length() - 1
     assert evals.shape == (8, n)
-    # position p = k*m + c  ->  coset c, member k  (x_{c,k} = x_c * eta^k)
+    # position p = k*m + c  ->  coset c, member k  (x_{c,k} = x_c * eta^k);
+    # transform along the k axis with the coset axis kept on lanes
     v = evals.reshape(8, factor, m)
-    v = jnp.moveaxis(v, 1, 2)  # (8, m, factor)
-    a = ntt.ntt(v, inverse=True)  # scaled coeffs a_j = f_j(y) x_c^j, (8,m,F)
+    a = _ntt_small_axis1(v, logf, True)  # scaled coeffs a_j, (8, F, m)
     # base_c = beta / x_c ;  x_c^{-1} = offset^{-1} * w^{-c}
-    w_inv_pows = ntt._offset_powers(log2_n - (factor.bit_length() - 1),
+    w_inv_pows = ntt._offset_powers(log2_n - logf,
                                     ref.root_of_unity(log2_n), True)[:, :m]
     o_inv = f128.from_int(ref.inv(offset)).reshape(8, 1)
     x_inv = f128.mul(w_inv_pows, o_inv)           # (8, m)
     base = f128.mul(x_inv, beta.reshape(8, 1))    # (8, m)
-    # q_c(beta) = sum_j a_j * base^j: per-coset power table built by doubling
-    # (log F muls), then ONE batched mul + log-depth sum — a chained Horner
-    # accumulation would both serialize the VPU and blow up XLA compiles.
-    powers = f128.ones((m, 1))
-    step = base[..., None]                        # (8, m, 1)
+    # q_c(beta) = sum_j a_j * base^j: power table built by doubling along
+    # the leading j axis (log F muls), then ONE batched mul + log-depth
+    # sum — a chained Horner accumulation would both serialize the VPU
+    # and blow up XLA compiles.
+    powers = f128.ones((1, m))
+    step = base[:, None, :]                       # (8, 1, m)
     cur = 1
     while cur < factor:
-        powers = jnp.concatenate([powers, f128.mul(powers, step)], axis=-1)
+        powers = jnp.concatenate([powers, f128.mul(powers, step)], axis=1)
         step = f128.mul(step, step)
         cur *= 2
-    return poly.tree_sum(f128.mul(a, powers))
+    prod = f128.mul(a, powers)                    # (8, F, m)
+    while prod.shape[1] > 1:                      # log-depth sum over j,
+        h = prod.shape[1] // 2                    # lanes stay on m
+        prod = f128.add(prod[:, :h], prod[:, h:])
+    return prod[:, 0]
 
 
 def commit_layer(evals: jnp.ndarray, factor: int) -> merkle.MerkleTree:
     """Merkle-commit a layer: leaf c = blake3 of the F coset values
-    (canonical LE bytes), matching the transposed-coset layout."""
+    (canonical LE bytes), matching the transposed-coset layout.  The
+    message is assembled WORDS-FIRST ((F*4, m)) so no small-lane-dim
+    buffer ever materializes at N points."""
     n = evals.shape[-1]
     m = n // factor
     words = f128.to_uint32_words(evals)            # (4, N) canonical
     words = words.reshape(4, factor, m)
-    words = jnp.moveaxis(words, 0, -1)             # (factor, m, 4)
-    words = jnp.moveaxis(words, 0, 1).reshape(m, factor * 4)
-    leaves = b3.hash_words(words, factor * 16)
-    return merkle.MerkleTree(leaves)
+    # leaf c's message word w = 4k + i  ->  value k, word i
+    wf = jnp.moveaxis(words, 0, 1).reshape(factor * 4, m)
+    leaves = b3.hash_words_wf(wf, factor * 16)     # (8, m) words-first
+    return merkle.MerkleTree(jnp.moveaxis(leaves, 0, -1))
 
 
 @dataclasses.dataclass

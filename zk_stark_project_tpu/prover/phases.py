@@ -218,24 +218,32 @@ def _merkle_levels(leaves: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
 
 def _leaves_rows(evals: jnp.ndarray) -> jnp.ndarray:
     """Row leaves for a (8, C, W, N) evaluation tensor: leaf i of proof c =
-    blake3 of row i's W canonical elements (winterfell `hash_elements`)."""
-    w = evals.shape[2]
+    blake3 of row i's W canonical elements (winterfell `hash_elements`).
+
+    Message assembly is WORDS-FIRST, feeding `hash_words_wf` directly so
+    the hash pipeline never sees a lane-padded batch-last layout; the
+    remaining temp cost (~2x message bytes, memory_analysis-checked) is
+    the unavoidable staging of the transposed block stack."""
+    c, w, n = evals.shape[1], evals.shape[2], evals.shape[3]
     words = f128.to_uint32_words(evals)               # (4, C, W, N)
-    words = jnp.transpose(words, (1, 3, 2, 0))        # (C, N, W, 4)
-    words = words.reshape(words.shape[0], words.shape[1], w * 4)
-    return b3.hash_words(words, w * 16)               # (C, N, 8)
+    wf = jnp.transpose(words, (2, 0, 1, 3))           # (W, 4, C, N)
+    wf = wf.reshape(w * 4, c, n)                      # word 4k+i = (val k, word i)
+    leaves = b3.hash_words_wf(wf, w * 16)             # (8, C, N)
+    return jnp.transpose(leaves, (1, 2, 0))           # (C, N, 8)
 
 
 def _leaves_fri(evals: jnp.ndarray, factor: int) -> jnp.ndarray:
     """Transposed-coset FRI leaves for (8, C, N): leaf c = blake3 of the
-    factor coset values (`prover/fri.py::commit_layer` layout)."""
+    factor coset values (`prover/fri.py::commit_layer` layout) — words-
+    first assembly like `_leaves_rows`."""
     c, n = evals.shape[1], evals.shape[2]
     m = n // factor
     words = f128.to_uint32_words(evals)               # (4, C, N)
     words = words.reshape(4, c, factor, m)
-    words = jnp.transpose(words, (1, 3, 2, 0))        # (C, m, F, 4)
-    words = words.reshape(c, m, factor * 4)
-    return b3.hash_words(words, factor * 16)
+    wf = jnp.transpose(words, (2, 0, 1, 3))           # (F, 4, C, m)
+    wf = wf.reshape(factor * 4, c, m)
+    leaves = b3.hash_words_wf(wf, factor * 16)        # (8, C, m)
+    return jnp.transpose(leaves, (1, 2, 0))           # (C, m, 8)
 
 
 # ---------------------------------------------------------------------------
@@ -244,8 +252,11 @@ def _leaves_fri(evals: jnp.ndarray, factor: int) -> jnp.ndarray:
 
 
 def _trace_lde_commit_impl(stacked: jnp.ndarray, blowup: int, offset: int):
-    polys = ntt.interpolate(stacked)
-    lde = ntt.coset_evaluate(polys, offset, blowup)
+    # internal coefficient convention: BIT-REVERSED storage -> the iNTT
+    # and every coset evaluation pay zero unscramble passes; transcript
+    # values are order-independent extractions, proofs byte-identical
+    polys = ntt.interpolate_bitrev(stacked)
+    lde = ntt.coset_evaluate_from_bitrev(polys, offset, blowup)
     levels = _merkle_levels(_leaves_rows(lde))
     return polys, lde, levels
 
@@ -307,7 +318,8 @@ def _composition_commit_impl(kind: str, n: int, ce_blowup: int, m: int,
     log2_d = d.bit_length() - 1
     g = ref.root_of_unity(n.bit_length() - 1)
 
-    ce = ntt.coset_evaluate(trace_polys, offset, ce_blowup)  # (8, C, W, D)
+    ce = ntt.coset_evaluate_from_bitrev(trace_polys, offset,
+                                        ce_blowup)           # (8, C, W, D)
     domain = jnp.asarray(_domain_np(log2_d, offset))
 
     if kind == "zero":
@@ -334,9 +346,15 @@ def _composition_commit_impl(kind: str, n: int, ce_blowup: int, m: int,
         num = poly.combine_axis(diff, group_alphas[si], 2)   # (8, C, D)
         total = f128.add(total, f128.mul(num, lin_inv[:, None, si]))
 
-    coeffs_full = ntt.coset_interpolate(total, offset)       # (8, C, D)
-    comp_cols = coeffs_full.reshape(8, c, ce_blowup, n)[:, :, :m]
-    comp_lde = ntt.coset_evaluate(comp_cols, offset, blowup)
+    coeffs_br = ntt.interpolate_bitrev(total, offset)        # (8, C, D)
+    # degree-segment split in bitrev storage: segment `col` sits at
+    # positions p = rev(col) (mod ce_blowup), bitrev-ordered within
+    log_cb = ce_blowup.bit_length() - 1
+    rev_cb = ([int(x) for x in ntt._bitrev_np(log_cb)] if log_cb else [0])
+    comp_cols = jnp.stack(
+        [coeffs_br[..., rev_cb[col]::ce_blowup] for col in range(m)],
+        axis=2)
+    comp_lde = ntt.coset_evaluate_from_bitrev(comp_cols, offset, blowup)
     levels = _merkle_levels(_leaves_rows(comp_lde))
     return comp_cols, comp_lde, levels
 
@@ -352,9 +370,9 @@ _composition_commit_jit = jax.jit(_composition_commit_impl,
 
 def _ood_eval_impl(trace_polys: jnp.ndarray, comp_cols: jnp.ndarray,
                    z_arr: jnp.ndarray, zg_arr: jnp.ndarray):
-    return (poly.eval_at_b(trace_polys, z_arr),
-            poly.eval_at_b(trace_polys, zg_arr),
-            poly.eval_at_b(comp_cols, z_arr))
+    return (poly.eval_at_b_bitrev(trace_polys, z_arr),
+            poly.eval_at_b_bitrev(trace_polys, zg_arr),
+            poly.eval_at_b_bitrev(comp_cols, z_arr))
 
 
 _ood_eval_jit = jax.jit(_ood_eval_impl)
@@ -416,17 +434,30 @@ def _fold(evals: jnp.ndarray, betas: jnp.ndarray, offset: int,
           log2_n: int, factor: int) -> jnp.ndarray:
     """One batched FRI fold: (8, C, N) + per-proof betas (8, C) ->
     (8, C, N/F).  Coset algebra documented in `prover/fri.py`."""
+    from . import fri as _fri
+
     n = 1 << log2_n
     c = evals.shape[1]
     m = n // factor
+    logf = factor.bit_length() - 1
+    # coset axis on LANES throughout: an (8, C, m, F) layout pads the
+    # F-lane temps 8x (see prover/fri._ntt_small_axis1)
     v = evals.reshape(8, c, factor, m)
-    v = jnp.moveaxis(v, 2, 3)                          # (8, C, m, F)
-    a = ntt.ntt(v, inverse=True)
+    a = _fri._ntt_small_axis1(v, logf, True)           # (8, C, F, m)
     x_inv = jnp.asarray(_fri_x_inv_np(log2_n, factor, offset))
     base = f128.mul(x_inv[:, None, :], betas[:, :, None])  # (8, C, m)
-    powers = poly.powers_of_b(base, 1 << max(0, (factor - 1).bit_length()))
-    powers = powers[..., :factor]                      # (8, C, m, F)
-    return poly.tree_sum(f128.mul(a, powers))
+    powers = f128.ones((c, 1, m))                      # along axis -2
+    step = base[:, :, None, :]
+    cur = 1
+    while cur < factor:
+        powers = jnp.concatenate([powers, f128.mul(powers, step)], axis=-2)
+        step = f128.mul(step, step)
+        cur *= 2
+    prod = f128.mul(a, powers)                         # (8, C, F, m)
+    while prod.shape[-2] > 1:
+        h = prod.shape[-2] // 2
+        prod = f128.add(prod[..., :h, :], prod[..., h:, :])
+    return prod[..., 0, :]
 
 
 def _fri_fold_commit_impl(log2_n: int, offset: int, factor: int,

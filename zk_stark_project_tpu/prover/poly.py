@@ -151,6 +151,26 @@ def powers_of_b(x: jnp.ndarray, n: int) -> jnp.ndarray:
     return powers
 
 
+def powers_of_b_bitrev(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Batched BIT-REVERSED power table: x (8,) + B -> (8,) + B + (n,)
+    with out[..., p] = x^rev_log2n(p).
+
+    Same doubling as `powers_of_b` with the level weights reversed: bit
+    b of p contributes exponent 2^(L-1-b) instead of 2^b, so each
+    doubling level multiplies by x^(2^(L-1-level)) — equally cheap, and
+    it lets bit-reversed-convention NTT pipelines build their scale
+    tables without any gather."""
+    assert n & (n - 1) == 0
+    logn = n.bit_length() - 1
+    powers = f128.ones(x.shape[1:] + (1,))
+    for lev in range(logn):
+        step = x[..., None]
+        for _ in range(logn - 1 - lev):
+            step = f128.mul(step, step)          # x^(2^(L-1-lev))
+        powers = jnp.concatenate([powers, f128.mul(powers, step)], axis=-1)
+    return powers
+
+
 @jax.jit
 def eval_at_b(coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Batched single-point evaluation: coeffs (8, C, ..., n); x (8, C).
@@ -159,3 +179,13 @@ def eval_at_b(coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     pows = powers_of_b(x, n)  # (8, C, n)
     shape = pows.shape[:2] + (1,) * (coeffs.ndim - 3) + (n,)
     return tree_sum(f128.mul(coeffs, pows.reshape(shape)))
+
+
+@jax.jit
+def eval_at_b_bitrev(coeffs_br: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """`eval_at_b` for coefficients stored in BIT-REVERSED order: the
+    power table is built bitrev-ordered, the sum is order-free."""
+    n = coeffs_br.shape[-1]
+    pows = powers_of_b_bitrev(x, n)  # (8, C, n)
+    shape = pows.shape[:2] + (1,) * (coeffs_br.ndim - 3) + (n,)
+    return tree_sum(f128.mul(coeffs_br, pows.reshape(shape)))
