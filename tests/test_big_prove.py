@@ -37,8 +37,9 @@ def test_big_prover_bit_identical_small(np_rng):
 
 
 def test_streamed_polys_match_trace_build(np_rng):
-    """`build_polys_streamed` must equal interpolate(build_trace) and set
-    the same boundary rows."""
+    """`build_polys_streamed` must equal interpolate_bitrev(build_trace)
+    (the big prover's bit-reversed storage convention) and set the same
+    boundary rows."""
     from zk_stark_project_tpu.models.training import build_polys_streamed
     from zk_stark_project_tpu.ops import f128, ntt
 
@@ -50,7 +51,7 @@ def test_streamed_polys_match_trace_build(np_rng):
     p = TrainingUpdateProver(opts, w, b, ws, bsn, x, [[0] * FE] * 2, y,
                              f64_to_felt(1e-4), f64_to_felt(1e6), 2,
                              rng=np_rng)
-    expected = ntt.interpolate(p.build_trace().data)
+    expected = ntt.interpolate_bitrev(p.build_trace().data)
     pub_expected = p.get_pub_inputs()
 
     p2 = TrainingUpdateProver(opts, p.initial_w, p.initial_b, p.w_sign,
